@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Driver benchmark: the 14-op matrix on fundus.jpg, Pallas path, real TPU.
+
+Prints ONE JSON line:
+  {"metric": "dip14_geomean_latency", "value": <geomean us over 14 ops>,
+   "unit": "us", "vs_baseline": <geomean speedup vs the reference CUDA.jl
+   column from assets/results.csv — >1.0 means faster than baseline>}
+
+Before timing, every op output is verified bit-exactly against the NumPy
+oracle (on-hardware miscompiles must fail loudly, not pollute numbers).
+Per-op details go to stderr; the JSON line is the only stdout output.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+# The reference's published per-round seconds (BASELINE.md, results.csv:2).
+CUDA_BASELINE_S = {
+    "Upload": 0.005212, "Download": 0.006028, "Copy": 0.000482,
+    "Inversion": 0.000463, "Grayscale": 0.000462, "Threshold": 0.000463,
+    "Erosion-3x3-Cross": 0.000955, "Erosion-3x3-Square": 0.001264,
+    "Erosion-1x3+3x1-Square": 0.001530, "Convolution-3x3": 0.001024,
+    "Convolution-1x3+3x1": 0.001216, "Convolution-5x5": 0.002268,
+    "Convolution-1x5+5x1": 0.001533, "Gaussian-Blur-3x3": 0.001053,
+}
+
+FUNDUS = "/root/reference/assets/fundus.jpg"
+
+
+def main() -> int:
+    rounds = int(os.environ.get("BENCH_ROUNDS", "300"))
+    path = os.environ.get("BENCH_PATH", "pallas")
+
+    from dip_benchmark_tpu.harness import BenchmarkRunner
+    from dip_benchmark_tpu.session import BenchmarkSession
+    from dip_benchmark_tpu.utils.image import load_image
+
+    if os.path.exists(FUNDUS):
+        image = load_image(FUNDUS)
+    else:  # same size as the HRF fundus image
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 256, size=(2336, 3504, 3), dtype=np.uint8)
+        print("WARNING: fundus.jpg not found, using synthetic image",
+              file=sys.stderr)
+
+    session = BenchmarkSession(image, path=path)
+    runner = BenchmarkRunner(session.operations(), rounds=rounds)
+    results = runner.run(verify_against=image, quiet=True)
+
+    lat_us, speedups = {}, {}
+    for r in results:
+        lat_us[r.csv_column] = r.time_rounds * 1e6
+        speedups[r.csv_column] = CUDA_BASELINE_S[r.csv_column] / r.time_rounds
+        print(f"  {r.csv_column:28s} {r.time_rounds * 1e6:10.1f} us   "
+              f"(once {r.time_once * 1e3:8.1f} ms, "
+              f"{speedups[r.csv_column]:6.2f}x vs CUDA ref)", file=sys.stderr)
+
+    geo_lat = math.exp(sum(math.log(v) for v in lat_us.values())
+                       / len(lat_us))
+    geo_speedup = math.exp(sum(math.log(v) for v in speedups.values())
+                           / len(speedups))
+    print(json.dumps({
+        "metric": "dip14_geomean_latency",
+        "value": round(geo_lat, 2),
+        "unit": "us",
+        "vs_baseline": round(geo_speedup, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""L4 CLI: the reference's three-argument contract plus TPU-framework knobs.
+
+Reference contract [opencv/benchmark.py:124-127, cuda/benchmark.jl:135-152,
+sycl/benchmark.cpp:389-426]: positional infile + outdir, --rounds default
+10000, device-availability gate, device banner, then run the benchmark.
+
+Added knobs (SURVEY.md §5 config plan): --path {pallas,xla}, --backend
+{tpu,cpu,any}, --csv <file>, --tool <name>, --verify, --profile <dir>.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from argparse import ArgumentParser, ArgumentTypeError
+
+import numpy as np
+
+from .harness import BenchmarkRunner
+from .runtime import DeviceGateError, describe_device, require_device
+from .session import BenchmarkSession
+from .utils.image import is_image_file, load_image
+
+
+def parse_image(string: str) -> tuple[np.ndarray, str]:
+    if not is_image_file(string):
+        raise ArgumentTypeError("Not a valid image file")
+    return (load_image(string), os.path.basename(string))
+
+
+def parse_dir(string: str) -> str:
+    if os.path.exists(string) and not os.path.isdir(string):
+        raise ArgumentTypeError("Not a valid directory")
+    os.makedirs(string, exist_ok=True)
+    return string
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(
+        prog="benchmark.py",
+        description="Image processing algorithms benchmark with TPU "
+                    "(JAX/XLA/Pallas) acceleration")
+    parser.add_argument("infile", type=parse_image,
+                        help="Path to image file")
+    parser.add_argument("outdir", type=parse_dir,
+                        help="Path to image output directory")
+    parser.add_argument("--rounds", type=int, default=10000,
+                        help="Times to be executed, default 10000")
+    parser.add_argument("--path", choices=["pallas", "xla"], default="pallas",
+                        help="Execution path: hand-written Pallas kernels "
+                             "(default) or jitted XLA library calls")
+    parser.add_argument("--backend", choices=["tpu", "cpu", "any"],
+                        default="tpu", help="Device backend gate")
+    parser.add_argument("--csv", default=None,
+                        help="Also write/update a results.csv at this path")
+    parser.add_argument("--tool", default=None,
+                        help="Tool name for the CSV row (default TPU-<path>)")
+    parser.add_argument("--verify", action="store_true",
+                        help="Check every op output bit-exactly against the "
+                             "NumPy oracle before reporting")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the run")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.backend == "cpu":
+        # The env var alone is not enough under environments whose
+        # sitecustomize pre-registers an accelerator plugin (e.g. axon).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        device = require_device(args.backend)
+    except DeviceGateError as e:
+        print(str(e), file=sys.stderr)
+        return 4  # same role as the SYCL no-GPU exit code
+    print(describe_device(device))
+
+    image, filename = args.infile
+    session = BenchmarkSession(image, path=args.path, device=device)
+    runner = BenchmarkRunner(session.operations(), rounds=args.rounds)
+
+    def execute():
+        runner.run(filename=filename, outdir=args.outdir,
+                   verify_against=image if args.verify else None)
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            execute()
+    else:
+        execute()
+
+    if args.csv:
+        runner.write_csv(args.csv, tool=args.tool or f"TPU-{args.path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

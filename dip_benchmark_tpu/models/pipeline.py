@@ -1,0 +1,101 @@
+"""The flagship model: the fused DIP pipeline (BASELINE.json config 5).
+
+grayscale -> threshold -> erosion(3x3 square) -> gaussian blur(3x3), fused
+into ONE Pallas kernel: one HBM read of the 3-channel band (+halo), all four
+stages in VMEM/registers, one HBM write — versus four dispatches and eight
+image-sized HBM round-trips if run as the individual benchmark ops. This is
+the point-op-chain fusion SURVEY.md §7.5d calls for.
+
+Bit-exact vs oracle.fused_pipeline (the op-by-op chain): point stages commute
+with the baked mirror halo, and the windowed stages' masks are symmetric, so
+in-VMEM halo propagation reproduces each stage's standalone mirror semantics
+(same argument as the fused separable kernels, ops/pallas/window.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import spec
+from ..ops import xla
+from ..ops.pallas.common import interpret_mode
+from ..ops.pallas.window import _shift
+from ..utils import image as image_mod
+from ..utils.image import PlanarLayout
+
+
+def make_fused_pipeline_pallas(layout: PlanarLayout):
+    """Fused pipeline over the planar padded image; returns (C, H, Wp) u8."""
+    c, hp, wp = layout.shape
+    assert c == 3
+    band = layout.band
+    blen = band + image_mod.DMA_SLACK
+    nb = layout.n_bands
+    hy = 2  # erosion (1) + blur (1)
+    assert layout.pad_y >= hy and layout.pad_x >= hy
+    row_base = layout.pad_y - hy
+
+    def kernel(in_hbm, out_ref, x_vmem, sem):
+        i = pl.program_id(0)
+
+        def dma(slot, ii):
+            return pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                x_vmem.at[slot], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
+        x_vmem = x_vmem[i % 2][:, row_base:row_base + band + 2 * hy]
+        # Stage 1: grayscale (Rec.709, f32 SYCL order, truncate). All
+        # arithmetic in 32-bit: this Mosaic target legalizes neither 8-bit
+        # arithmetic nor u8->f32 casts (see ops/pallas/window.py docstring).
+        r = x_vmem[0].astype(jnp.int32).astype(jnp.float32)
+        g = x_vmem[1].astype(jnp.int32).astype(jnp.float32)
+        b = x_vmem[2].astype(jnp.int32).astype(jnp.float32)
+        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+        gray = ((wb * b + wg * g) + wr * r).astype(jnp.int32)  # (band+4, wp)
+        # Stage 2: threshold.
+        t = jnp.where(gray > spec.THRESHOLD_VALUE, spec.THRESHOLD_MAX, 0)
+        # Stage 3: erosion 3x3 square -> rows [1, band+3) of t.
+        tm = jnp.minimum(jnp.minimum(_shift(t, -1), t), _shift(t, 1))
+        n = band + 2
+        v = jnp.minimum(jnp.minimum(tm[0:n], tm[1:n + 1]), tm[2:n + 2])
+        # Stage 4: specialized 3x3 blur (separable, exact int) -> band rows.
+        aux = _shift(v, -1) + (v << 1) + _shift(v, 1)
+        out = ((aux[0:band] + (aux[1:band + 1] << 1)
+                + aux[2:band + 2] + 8) >> 4).astype(jnp.uint8)
+        out_ref[0] = out
+        out_ref[1] = out
+        out_ref[2] = out
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, layout.banded_height, wp),
+                                           jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.uint8),
+                            pltpu.SemaphoreType.DMA((2,))],
+            interpret=interpret_mode(),
+        )(planar)
+
+    return op
+
+
+def fused_pipeline_xla(image: jax.Array) -> jax.Array:
+    """X-path fused pipeline on uint8 HWC (XLA fuses the chain itself)."""
+    return xla.fused_pipeline(image)

@@ -1,0 +1,61 @@
+"""P-path op registry: hand-written Pallas kernels for the 12 device ops.
+
+build_ops(layout) returns CSV-column-keyed callables over the planar padded
+(C, Hp, Wp) uint8 device image; build_crops(layout) returns the matching
+device-output -> uint8 HWC converters used by the untimed image dump.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ... import spec
+from ...utils.image import PlanarLayout, from_planar_padded
+from . import point, window
+from .common import interpret_mode  # noqa: F401
+
+
+def build_ops(layout: PlanarLayout) -> dict:
+    ops = dict(point.build_point_ops(layout))
+    ops.update({
+        "Erosion-3x3-Cross": window.make_erosion(
+            layout, window.mask_to_taps(spec.CROSS_MASK_3X3)),
+        "Erosion-3x3-Square": window.make_erosion(
+            layout, window.mask_to_taps(spec.SQUARE_MASK_3X3)),
+        "Erosion-1x3+3x1-Square": window.make_erosion_separated_fused(layout),
+        "Convolution-3x3": window.make_convolution(
+            layout, 3, 3, spec.BLUR_3X3_SHIFT, spec.BLUR_3X3_INT),
+        "Convolution-1x3+3x1": window.make_convolution_separated_fused(
+            layout, 3, spec.BLUR_1X3_INT, spec.BLUR_SEP3_SHIFT),
+        "Convolution-5x5": window.make_convolution(
+            layout, 5, 5, spec.BLUR_5X5_SHIFT, spec.BLUR_5X5_INT),
+        "Convolution-1x5+5x1": window.make_convolution_separated_fused(
+            layout, 5, spec.BLUR_1X5_INT, spec.BLUR_SEP5_SHIFT),
+        "Gaussian-Blur-3x3": window.make_gaussian_blur_3x3(layout),
+    })
+    return ops
+
+
+def _crop_padded(layout: PlanarLayout):
+    def crop(dev) -> np.ndarray:
+        return from_planar_padded(np.asarray(dev), layout)
+    return crop
+
+
+def _crop_windowed(layout: PlanarLayout):
+    px, w, h = layout.pad_x, layout.width, layout.height
+
+    def crop(dev) -> np.ndarray:
+        arr = np.asarray(dev)[:, :h, px:px + w]  # (C, H, W)
+        return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+    return crop
+
+
+POINT_COLS = ("Copy", "Inversion", "Threshold", "Grayscale")
+
+
+def build_crops(layout: PlanarLayout) -> dict:
+    padded = _crop_padded(layout)
+    windowed = _crop_windowed(layout)
+    return {col: (padded if col in POINT_COLS else windowed)
+            for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}

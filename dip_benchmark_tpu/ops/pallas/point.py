@@ -1,0 +1,114 @@
+"""Point-op Pallas kernels: copy, inversion, threshold, grayscale.
+
+Single fused VMEM pass over uint8 row-band tiles, HBM traffic stays uint8
+(the bandwidth the benchmark measures). These replace the reference's
+per-pixel point kernels [cuda/benchmark.jl:11-43, sycl/benchmark.cpp:54-114].
+
+Elementwise ops run on the image reshaped to (C*Hp, Wp) — a free row-major
+view of the planar layout — with Pallas pipelining HBM<->VMEM block
+transfers. Grayscale needs all three channel planes per band, so it grids
+over row bands of the (3, Hp, Wp) array directly.
+
+Point ops commute with mirroring, so outputs on the full padded buffer have
+correct mirror halos for free; outputs keep the input's padded shape and are
+cropped on download.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import spec
+from ...utils.image import PlanarLayout
+from .common import GRAY_BAND, POINT_BAND, interpret_mode
+
+
+def _copy_kernel(in_ref, out_ref):
+    out_ref[:] = in_ref[:]
+
+
+def _inversion_kernel(in_ref, out_ref):
+    # 255 - x == x ^ 0xFF exactly on uint8; xor is one of the few 8-bit
+    # vector ops this Mosaic target legalizes (subi on i8 vectors is not).
+    out_ref[:] = in_ref[:] ^ jnp.uint8(255)
+
+
+def _threshold_kernel(in_ref, out_ref):
+    # Compare/select in i32: 8-bit cmp+select does not legalize on this
+    # Mosaic target (only load/store/bitwise and casts are safe on u8).
+    v = in_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.where(v > spec.THRESHOLD_VALUE,
+                           spec.THRESHOLD_MAX, 0).astype(jnp.uint8)
+
+
+def _elementwise(kernel, layout: PlanarLayout):
+    c, hp, wp = layout.shape
+    rows = c * hp
+    grid = (pl.cdiv(rows, POINT_BAND),)
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        flat = planar.reshape(rows, wp)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((POINT_BAND, wp), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((POINT_BAND, wp), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint8),
+            interpret=interpret_mode(),
+        )(flat)
+        return out.reshape(c, hp, wp)
+
+    return op
+
+
+def _grayscale_kernel(in_ref, out_ref):
+    # in_ref/out_ref: (3, BAND, Wp) uint8. Rec.709 in f32, SYCL accumulation
+    # order (wb*b + wg*g) + wr*r, truncating cast [sycl/benchmark.cpp:82-86].
+    # u8 -> f32 is not a supported Mosaic cast; go via i32.
+    r = in_ref[0].astype(jnp.int32).astype(jnp.float32)
+    g = in_ref[1].astype(jnp.int32).astype(jnp.float32)
+    b = in_ref[2].astype(jnp.int32).astype(jnp.float32)
+    wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+    gray = ((wb * b + wg * g) + wr * r).astype(jnp.int32).astype(jnp.uint8)
+    out_ref[0] = gray
+    out_ref[1] = gray
+    out_ref[2] = gray
+
+
+def _grayscale(layout: PlanarLayout):
+    c, hp, wp = layout.shape
+    assert c == 3
+    grid = (pl.cdiv(hp, GRAY_BAND),)
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            _grayscale_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
+            interpret=interpret_mode(),
+        )(planar)
+
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def build_point_ops(layout: PlanarLayout) -> dict:
+    return {
+        "Copy": _elementwise(_copy_kernel, layout),
+        "Inversion": _elementwise(_inversion_kernel, layout),
+        "Threshold": _elementwise(_threshold_kernel, layout),
+        "Grayscale": _grayscale(layout),
+    }

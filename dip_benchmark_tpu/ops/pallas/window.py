@@ -1,0 +1,263 @@
+"""Windowed-op Pallas kernels: erosion, convolution, specialized blur.
+
+These replace the reference's hand-written window kernels
+[sycl/benchmark.cpp:116-252, cuda/benchmark.jl:45-133]. TPU-first design:
+
+- Grid over (channel, row-band); each step DMAs its band plus halo rows from
+  the HBM-resident padded image into VMEM scratch (the Pallas analogue of the
+  16x16 GPU thread-block tiling, SURVEY.md §2.2 'parallelism component'),
+  then computes the band as pure shift-reduce: rows by sublane slicing, cols
+  by lane rolls. Mirror borders are pre-baked in the padding, so there is no
+  per-pixel boundary branching anywhere.
+- Roll wrap-around garbage only ever lands in columns < hx or >= Wp-hx,
+  which lie outside the valid region (pad_x >= hx), so full-width rolls are
+  safe — no masked stores needed.
+- Convolution is exact integer arithmetic: acc = sum(w_int * px), then
+  (acc + half) >> shift (round-half-up), bit-identical to the reference's
+  float path (see spec module docstring). All arithmetic is in int32: this
+  Mosaic target legalizes only load/store/bitwise/casts on 8-bit vectors and
+  aborts on int16 sub/shift/roll, so kernels widen u8 -> i32 at the VMEM
+  boundary and narrow back at the store; HBM traffic stays uint8.
+- Separable ops are FUSED: the 1xN pass runs over band+halo rows in VMEM and
+  the Nx1 pass consumes it in-register — one HBM round-trip instead of the
+  reference's two dispatches through an aux buffer [sycl/benchmark.cpp:341-356],
+  while remaining bit-exact (the intermediate is held as exact small ints,
+  and the baked mirror rows reproduce the aux re-mirroring of the two-pass
+  scheme because all masks are symmetric).
+- Generic convolutions take mask values at RUNTIME via SMEM scalars
+  (mirroring the reference's runtime-mask kernels); gaussian_blur_3x3 bakes
+  the 1-2-1 weights at compile time and factors them separably — the
+  specialization op #14 exists to measure [SURVEY.md §2.1 op 14].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import spec
+from ...utils import image as image_mod
+from ...utils.image import PlanarLayout
+from .common import interpret_mode
+
+
+def _windowed_call(layout: PlanarLayout, hy: int, body,
+                   mask_args: tuple[np.ndarray, ...] = ()):
+    """Shared skeleton: double-buffered band DMA, then
+    body(x, out_ref, *mask_refs) where x is the (band + DMA_SLACK, Wp) uint8
+    window holding padded rows [i*band, i*band + band + DMA_SLACK).
+
+    Output image row r of band i maps to window row (pad_y - hy) + hy + r;
+    bodies slice rows [row_base + k, row_base + k + band) for tap k in
+    [0, 2*hy], with row_base = pad_y - hy (guide: see module docstring).
+
+    Mosaic constrains HBM DMA slices to 8-row tile boundaries, hence the
+    fixed aligned window. The NEXT band's DMA is issued before waiting on
+    the current one, so the HBM read pipeline overlaps compute (Pallas
+    already double-buffers the output writes).
+    """
+    c, hp, wp = layout.shape
+    band = layout.band
+    blen = band + image_mod.DMA_SLACK
+    nb = layout.n_bands
+    total = c * nb
+    row_base = layout.pad_y - hy
+    assert layout.pad_y >= hy
+    n_mask = len(mask_args)
+
+    def kernel(*refs):
+        in_hbm = refs[0]
+        mask_refs = refs[1:1 + n_mask]
+        out_ref = refs[1 + n_mask]
+        x_vmem, sem = refs[2 + n_mask:]
+        ch = pl.program_id(0)
+        i = pl.program_id(1)
+        step = ch * nb + i
+
+        def dma(slot, cc, ii):
+            return pltpu.make_async_copy(
+                in_hbm.at[cc, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                x_vmem.at[slot], sem.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, ch, i).start()
+
+        @pl.when(step + 1 < total)
+        def _():
+            nxt = step + 1
+            dma((step + 1) % 2, nxt // nb, nxt % nb).start()
+
+        dma(step % 2, ch, i).wait()
+        # Slice the window down to exactly band + 2*hy rows so bodies index
+        # taps as [k : k + band] for k in [0, 2*hy], like a plain halo band.
+        x = x_vmem[step % 2][row_base:row_base + band + 2 * hy]
+        body(x, out_ref, *mask_refs)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_mask
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kernel,
+            grid=(c, nb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, layout.banded_height, wp),
+                                           jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((2, blen, wp), jnp.uint8),
+                            pltpu.SemaphoreType.DMA((2,))],
+            interpret=interpret_mode(),
+        )(planar, *mask_args)
+
+    return op
+
+
+def _shift(v: jax.Array, dx: int) -> jax.Array:
+    """out[..., x] = v[..., x + dx] (full-width lane roll; wrap cols are
+    outside the valid region by construction)."""
+    if dx == 0:
+        return v
+    size = v.shape[-1]
+    return pltpu.roll(v, (-dx) % size, axis=v.ndim - 1)
+
+
+# ---------------------------------------------------------------------------
+# Erosion (min-reduce). Geometry is compile-time specialized per op, like the
+# reference's per-mask dispatches; reduce on uint8 directly.
+# ---------------------------------------------------------------------------
+
+def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
+    hy = max(abs(dy) for dy, _ in taps)
+    band = layout.band
+
+    def body(x_vmem, out_ref, *_):
+        by_dy: dict[int, list[int]] = {}
+        for dy, dx in taps:
+            by_dy.setdefault(dy, []).append(dx)
+        acc = None
+        for dy, dxs in sorted(by_dy.items()):
+            v = x_vmem[dy + hy:dy + hy + band, :].astype(jnp.int32)
+            for dx in sorted(dxs):
+                t = _shift(v, dx)
+                acc = t if acc is None else jnp.minimum(acc, t)
+        out_ref[0] = acc.astype(jnp.uint8)
+
+    return _windowed_call(layout, hy, body)
+
+
+def mask_to_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
+    mh, mw = mask.shape
+    return tuple((my - mh // 2, mx - mw // 2)
+                 for my in range(mh) for mx in range(mw) if mask[my, mx])
+
+
+def make_erosion_separated_fused(layout: PlanarLayout):
+    """1x3 then 3x1 min, fused through VMEM (two-pass bit-exact: min is
+    idempotent/associative and the baked mirror rows reproduce the aux
+    re-mirroring)."""
+    hy = 1
+    band = layout.band
+
+    def body(x_vmem, out_ref, *_):
+        v = x_vmem[:, :].astype(jnp.int32)  # (band + 2, wp)
+        aux = jnp.minimum(jnp.minimum(_shift(v, -1), v), _shift(v, 1))
+        out_ref[0] = jnp.minimum(
+            jnp.minimum(aux[0:band], aux[1:band + 1]),
+            aux[2:band + 2]).astype(jnp.uint8)
+
+    return _windowed_call(layout, hy, body)
+
+
+# ---------------------------------------------------------------------------
+# Convolution (integer MAC, runtime mask values in SMEM)
+# ---------------------------------------------------------------------------
+
+def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
+                     int_mask: np.ndarray, acc_dtype=None):
+    """Dense kh x kw correlation; mask values are a runtime SMEM argument
+    (the reference's runtime-mask kernel, sycl/benchmark.cpp:159-202)."""
+    assert int_mask.shape == (kh, kw)
+    hy, hx = kh // 2, kw // 2
+    assert hx <= layout.pad_x
+    band = layout.band
+    # int32 accumulate (exact: max acc = 255*256 + 128 << 2^31). Narrower
+    # types would halve VMEM traffic but i16/u16 arithmetic does not
+    # legalize on this Mosaic target.
+    acc_dtype = acc_dtype or jnp.int32
+    mask_flat = int_mask.astype(np.int32).reshape(-1)
+    half = 1 << (shift - 1)
+
+    def body(x_vmem, out_ref, mask_ref):
+        acc = None
+        for ky in range(kh):
+            v = x_vmem[ky:ky + band, :].astype(acc_dtype)
+            for kx in range(kw):
+                w = mask_ref[ky * kw + kx]
+                t = _shift(v, kx - hx) * w
+                acc = t if acc is None else acc + t
+        out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
+
+    return _windowed_call(layout, hy, body, mask_args=(mask_flat,))
+
+
+def make_convolution_separated_fused(layout: PlanarLayout, n: int,
+                                     row_mask: np.ndarray, shift: int):
+    """1xN pass then Nx1 pass fused in VMEM, runtime mask values.
+
+    Bit-exact vs the reference's two dispatches: the intermediate is the
+    exact pass-1 uint8 value held in int32 (pass 1 result is in [0,255]), and
+    baked mirror rows reproduce the aux re-mirroring (masks are symmetric).
+    [reference: sycl/benchmark.cpp:347-356, opencv/benchmark.py:84-90]
+    """
+    hy = n // 2
+    assert hy <= layout.pad_y and hy <= layout.pad_x
+    band = layout.band
+    mask_flat = row_mask.astype(np.int32).reshape(-1)
+    half = 1 << (shift - 1)
+
+    def body(x_vmem, out_ref, mask_ref):
+        v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
+        aux = None
+        for kx in range(n):
+            w = mask_ref[kx]
+            t = _shift(v, kx - hy) * w
+            aux = t if aux is None else aux + t
+        aux = (aux + half) >> shift  # exact pass-1 u8 values
+        acc = None
+        for ky in range(n):
+            w = mask_ref[ky]
+            t = aux[ky:ky + band, :] * w
+            acc = t if acc is None else acc + t
+        out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
+
+    return _windowed_call(layout, hy, body, mask_args=(mask_flat,))
+
+
+def make_gaussian_blur_3x3(layout: PlanarLayout):
+    """Op #14: compile-time-specialized 3x3 blur. Weights are immediates and
+    the binomial mask is factored separably IN-REGISTER (exact: integer sums
+    are associative), so this runs 6 MACs/px instead of 9 — the
+    specialization benefit the op exists to measure.
+    [reference: sycl/benchmark.cpp:204-252, cuda/benchmark.jl:105-133]
+    """
+    hy = 1
+    band = layout.band
+
+    def body(x_vmem, out_ref, *_):
+        v = x_vmem[:, :].astype(jnp.int32)  # (band + 2, wp)
+        # Vertical 1-2-1 pass FIRST: its row slices need no lane rolls, so
+        # the horizontal pass rolls a computed i32 value. If the rolls
+        # touched the bare widened input, Mosaic would hoist them onto the
+        # uint8 source and fail with 'Rotate with non-32-bit data'.
+        aux = v[0:band] + (v[1:band + 1] << 1) + v[2:band + 2]  # <= 1020
+        out_ref[0] = ((_shift(aux, -1) + (aux << 1) + _shift(aux, 1)
+                       + 8) >> 4).astype(jnp.uint8)
+
+    return _windowed_call(layout, hy, body)

@@ -1,0 +1,7 @@
+from .device import (  # noqa: F401
+    DeviceGateError,
+    backend_name,
+    default_device,
+    describe_device,
+    require_device,
+)

@@ -1,0 +1,117 @@
+"""Benchmark session: device state + the operations table for one image.
+
+Owns the three device-boundary crossings of the reference design (SURVEY.md
+§3.2): (a) initial upload of the working image (plus, for the Pallas path,
+the planar mirror-padded layout build — the analogue of the reference's
+host-side layout conversion and mask uploads, all untimed), (b) per-round
+op dispatch (the measured quantity), (c) post-measurement download for the
+image dump.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spec
+from .harness import Operation
+from .ops import xla
+from .utils import image as image_util
+
+
+def _sync(x):
+    return jax.block_until_ready(x)
+
+
+class BenchmarkSession:
+    """Builds the 14-op table over a host image for one execution path.
+
+    path: "xla" (jitted library calls) or "pallas" (hand-written kernels).
+    """
+
+    def __init__(self, host_image: np.ndarray, path: str = "pallas",
+                 device: jax.Device | None = None):
+        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        self.host_image = np.ascontiguousarray(host_image)
+        self.path = path
+        self.device = device or jax.devices()[0]
+        self._sample: jax.Array | None = None
+
+        # (a) initial upload — session state, untimed (the timed Upload op
+        # re-does this transfer every round).
+        self.image_dev = _sync(jax.device_put(self.host_image, self.device))
+        # Warm both transfer directions once so one-time PJRT/transport
+        # initialization (notably ~10^2 s of lazy D2H relay setup on tunneled
+        # TPU rigs) is absorbed here, not billed to the first op. This is the
+        # context-creation analogue of the reference's device gates
+        # (cuda/benchmark.jl:276-279); per-op compile cost still lands in the
+        # "once" column as in the reference.
+        np.asarray(_sync(jax.device_put(np.zeros((8, 128), np.uint8),
+                                        self.device)))
+        # Download must hand back a FRESH device array every round: jax.Array
+        # caches its host copy, so re-downloading self.image_dev would time a
+        # no-op after round 1. The identity jit yields a new buffer each call
+        # (XLA may not alias a parameter to a result), adding only a D2D copy
+        # (~10^-4 s) to the measured D2H transfer.
+        self._fresh_copy = jax.jit(jnp.copy)
+
+        if path == "pallas":
+            from .ops import pallas as pallas_ops
+            h, w, c = host_image.shape
+            self.layout = image_util.make_layout(h, w, c)
+            planar_host = image_util.to_planar_padded(self.host_image,
+                                                      self.layout)
+            self.planar_dev = _sync(jax.device_put(planar_host, self.device))
+            self._ops_impl = pallas_ops.build_ops(self.layout)
+            self._crop = pallas_ops.build_crops(self.layout)
+        elif path == "xla":
+            self._ops_impl = {col: jax.jit(fn)
+                              for col, fn in xla.IMAGE_OPS.items()}
+            self._crop = {col: lambda a: np.asarray(a)
+                          for col in xla.IMAGE_OPS}
+        else:
+            raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
+
+    # -- memory ops --------------------------------------------------------
+
+    def _upload(self):
+        return _sync(jax.device_put(self.host_image, self.device))
+
+    def _download(self):
+        return np.asarray(self._fresh_copy(self.image_dev))
+
+    # -- table -------------------------------------------------------------
+
+    def _device_input(self) -> jax.Array:
+        return self.planar_dev if self.path == "pallas" else self.image_dev
+
+    def _make_run(self, fn: Callable) -> Callable[[], None]:
+        src = self._device_input()
+
+        def run():
+            self._sample = _sync(fn(src))
+        return run
+
+    def operations(self) -> list[Operation]:
+        ops: list[Operation] = []
+        for desc, prefix, col in spec.OPERATION_MATRIX:
+            if col == "Upload":
+                ops.append(Operation(desc, prefix, col, self._upload,
+                                     self._fetch_sample))
+            elif col == "Download":
+                ops.append(Operation(desc, prefix, col, self._download,
+                                     self._fetch_sample))
+            else:
+                fn = self._ops_impl[col]
+                crop = self._crop[col]
+                run = self._make_run(fn)
+                ops.append(Operation(
+                    desc, prefix, col, run,
+                    (lambda c=crop: c(self._sample))))
+        return ops
+
+    def _fetch_sample(self) -> np.ndarray:
+        raise RuntimeError("memory ops produce no image")  # prefix == ""

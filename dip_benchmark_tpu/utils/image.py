@@ -1,0 +1,149 @@
+"""Image I/O and layout utilities (the L0 layer, SURVEY.md §1).
+
+Internal color convention is RGB uint8 HWC at the framework edges. The Pallas
+execution path additionally uses a planar, mirror-pre-padded, lane-aligned
+(C, Hp, Wp) device layout built here on the host (one-time, untimed — the
+same role as the reference backends' host-side layout conversion, e.g.
+channelview at cuda/benchmark.jl:171-172).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import spec
+
+try:  # cv2 matches the reference's JPEG decode exactly (opencv/benchmark.py:14)
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load an image file as uint8 RGB HWC."""
+    if _cv2 is not None:
+        bgr = _cv2.imread(path, _cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError(f"Not a valid image file: {path}")
+        return np.ascontiguousarray(bgr[..., ::-1])
+    from PIL import Image  # pragma: no cover
+    return np.asarray(Image.open(path).convert("RGB"))  # pragma: no cover
+
+
+def save_image(path: str, image: np.ndarray) -> None:
+    """Save a uint8 RGB HWC image."""
+    assert image.dtype == np.uint8 and image.ndim == 3
+    if _cv2 is not None:
+        ok = _cv2.imwrite(path, np.ascontiguousarray(image[..., ::-1]))
+        if not ok:
+            raise IOError(f"Failed to write {path}")
+        return
+    from PIL import Image  # pragma: no cover
+    Image.fromarray(image).save(path)  # pragma: no cover
+
+
+def is_image_file(path: str) -> bool:
+    if not os.path.isfile(path):
+        return False
+    if _cv2 is not None:
+        return _cv2.haveImageReader(path)
+    try:  # pragma: no cover
+        from PIL import Image
+        Image.open(path).verify()
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Planar padded layout for the Pallas path
+# ---------------------------------------------------------------------------
+
+LANE = 128      # TPU lane width (minor dim tiling unit)
+SUBLANE = 8     # float32 sublane unit
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class PlanarLayout:
+    """Geometry of the planar padded device layout.
+
+    Array shape is (C, Hp, Wp) uint8 where:
+      - rows [pad_y, pad_y + height) are valid, with `pad_y` mirror halo rows
+        above, and mirror + slack rows below;
+      - cols [pad_x, pad_x + width) are valid, with mirror halo columns either
+        side; Wp is rounded up to a LANE multiple.
+    Mirror values follow spec.mirror_index, so windowed kernels need zero
+    boundary logic: out[y, x] only ever reads in[y+dy, x+dx] for |dy|,|dx| <= 2.
+
+    `band` is the row-band size of the windowed Pallas kernels' grid. Mosaic
+    requires HBM DMA slices to start and end on 8-row tile boundaries, so
+    each grid step DMAs padded rows [i*band, i*band + band + DMA_SLACK); the
+    layout reserves banded_height + DMA_SLACK rows so every window is
+    in-bounds (trailing rows are mirror-clipped junk, never used by compute).
+    """
+    height: int
+    width: int
+    channels: int
+    pad_y: int
+    pad_x: int
+    band: int = 160  # must be a multiple of 8
+
+    @property
+    def n_bands(self) -> int:
+        return -(-self.height // self.band)
+
+    @property
+    def banded_height(self) -> int:
+        """Output rows of windowed kernels: height rounded up to the band."""
+        return self.n_bands * self.band
+
+    @property
+    def padded_height(self) -> int:
+        return self.banded_height + DMA_SLACK
+
+    @property
+    def padded_width(self) -> int:
+        return round_up(self.width + 2 * self.pad_x, LANE)
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.channels, self.padded_height, self.padded_width)
+
+
+DEFAULT_HALO = 2   # max kernel radius in the op matrix (5x5 -> 2)
+DMA_SLACK = 16     # >= 2*pad_y rounded up to the 8-row DMA tile
+
+
+def make_layout(height: int, width: int, channels: int = 3,
+                halo: int = DEFAULT_HALO, band: int = 160) -> PlanarLayout:
+    assert band % SUBLANE == 0 and 2 * halo <= DMA_SLACK
+    return PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
+                        band=band)
+
+
+def to_planar_padded(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
+    """HWC uint8 -> (C, Hp, Wp) uint8 with mirror halo baked in."""
+    h, w, c = image.shape
+    assert (h, w, c) == (layout.height, layout.width, layout.channels)
+    hp, wp = layout.padded_height, layout.padded_width
+    ys = spec.mirror_index(np.arange(hp) - layout.pad_y, h)
+    xs = spec.mirror_index(np.arange(wp) - layout.pad_x, w)
+    # Alignment slack beyond h + pad_y mirrors too (harmless; never read).
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    planar = np.transpose(image, (2, 0, 1))  # (C, H, W)
+    return np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]])
+
+
+def from_planar_padded(planar: np.ndarray, layout: PlanarLayout) -> np.ndarray:
+    """(C, Hp, Wp) -> HWC uint8, cropping halo/alignment padding."""
+    py, px = layout.pad_y, layout.pad_x
+    valid = planar[:, py:py + layout.height, px:px + layout.width]
+    return np.ascontiguousarray(np.transpose(valid, (1, 2, 0)))

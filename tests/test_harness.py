@@ -1,0 +1,110 @@
+"""Harness, session, CLI, reporting and plot.py round-trip tests."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import spec
+from dip_benchmark_tpu.harness import BenchmarkRunner, Operation
+from dip_benchmark_tpu.session import BenchmarkSession
+from dip_benchmark_tpu.utils import reporting
+from dip_benchmark_tpu.utils.image import load_image, save_image
+from dip_benchmark_tpu.utils.timing import measure_time
+
+
+def test_measure_time_two_phase():
+    calls = []
+    once, per_round = measure_time(lambda: calls.append(1), rounds=10)
+    assert len(calls) == 11  # 1 warm + 10 timed
+    assert once >= 0 and per_round >= 0
+
+
+def test_row_format_matches_reference():
+    r = reporting.OpResult("Inversion", "inversion", "Inversion",
+                           0.357799, 0.000463)
+    row = reporting.format_row(r, 10000, width=len("Inversion"))
+    # Byte format of opencv/benchmark.py:111 & sycl/benchmark.cpp:368.
+    assert row == ("| Inversion |   0.357799s (once) "
+                   "|   0.000463s (10000 times) |")
+
+
+def test_csv_round_trip(tmp_path):
+    results = [reporting.OpResult(d, p, c, 0.01, 0.001 * (i + 1))
+               for i, (d, p, c) in enumerate(spec.OPERATION_MATRIX)]
+    csv = tmp_path / "results.csv"
+    reporting.write_csv(str(csv), "TPU", results)
+    lines = csv.read_text().strip().split("\n")
+    assert lines[0] == spec.CSV_HEADER
+    assert lines[1].startswith("TPU,0.001000,0.002000,")
+    # overwrite same tool, add another
+    reporting.write_csv(str(csv), "TPU", results)
+    reporting.write_csv(str(csv), "TPU-xla", results)
+    lines = csv.read_text().strip().split("\n")
+    assert len(lines) == 3
+
+
+def test_csv_readable_by_plotpy_parser(tmp_path):
+    """plot.py:6-18 parses with pandas; emulate its exact reads."""
+    pd = pytest.importorskip("pandas")
+    results = [reporting.OpResult(d, p, c, 0.01, 0.000123)
+               for d, p, c in spec.OPERATION_MATRIX]
+    csv = tmp_path / "results.csv"
+    reporting.write_csv(str(csv), "TPU", results)
+    df = pd.read_csv(csv)
+    assert [t for t in df["Tool"]] == ["TPU"]
+    ops = [col for col in df.columns if col != "Tool"]
+    assert ops == list(spec.CSV_COLUMNS)
+    data = {op: [row / 10000 * 1e9 for row in df[op]] for op in ops}
+    assert abs(data["Upload"][0] - 12.3) < 1e-9
+
+
+@pytest.mark.parametrize("path", ["xla", "pallas"])
+def test_session_end_to_end(path, fundus_crop, tmp_path):
+    session = BenchmarkSession(fundus_crop, path=path)
+    runner = BenchmarkRunner(session.operations(), rounds=2)
+    results = runner.run(filename="crop.png", outdir=str(tmp_path),
+                         verify_against=fundus_crop, quiet=True)
+    assert len(results) == 14
+    # image dumps: one per non-empty prefix, none for Upload/Download
+    files = sorted(os.listdir(tmp_path))
+    expected = sorted(f"{p}-crop.png" for _, p, _ in spec.OPERATION_MATRIX if p)
+    assert files == expected
+    # saved images decode back to the verified op outputs
+    inv = load_image(str(tmp_path / "inversion-crop.png"))
+    np.testing.assert_array_equal(inv, 255 - fundus_crop)
+
+
+def test_session_verify_catches_corruption(fundus_crop):
+    session = BenchmarkSession(fundus_crop, path="xla")
+    ops = session.operations()
+    bad = [Operation(o.description, o.prefix, o.csv_column, o.run,
+                     (lambda o=o: np.zeros_like(fundus_crop))
+                     if o.csv_column == "Inversion" else o.fetch)
+           for o in ops]
+    runner = BenchmarkRunner(bad, rounds=1)
+    with pytest.raises(AssertionError, match="Inversion"):
+        runner.run(verify_against=fundus_crop, quiet=True)
+
+
+def test_cli_end_to_end(fundus_crop, tmp_path):
+    img_path = tmp_path / "in.png"
+    save_image(str(img_path), fundus_crop)
+    outdir = tmp_path / "out"
+    csv = tmp_path / "results.csv"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               DIP_FORCE_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/tpu/benchmark.py", str(img_path),
+         str(outdir), "--rounds", "1", "--backend", "cpu", "--path", "xla",
+         "--csv", str(csv), "--verify"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [ln for ln in proc.stdout.splitlines() if ln.startswith("| ")]
+    assert len(rows) == 14
+    assert csv.exists()
+    assert (outdir / "copy-in.png").exists()

@@ -1,0 +1,75 @@
+"""P-path (Pallas kernels) must match the NumPy oracle bit-exactly.
+
+Runs in Pallas interpret mode on CPU (conftest forces the CPU backend) —
+the sanitizer/fake-backend analogue (SURVEY.md §4/§5). The same kernels are
+verified on real TPU hardware by the harness --verify flag and bench.py.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import oracle
+from dip_benchmark_tpu.ops import pallas
+from dip_benchmark_tpu.utils.image import (from_planar_padded, make_layout,
+                                           to_planar_padded)
+
+COLS = sorted(c for c in oracle.IMAGE_OPS)
+
+
+def run_pallas(col: str, image: np.ndarray) -> np.ndarray:
+    layout = make_layout(*image.shape[:2])
+    planar = jax.device_put(to_planar_padded(image, layout))
+    out = pallas.build_ops(layout)[col](planar)
+    return pallas.build_crops(layout)[col](out)
+
+
+def test_planar_roundtrip(small_image):
+    layout = make_layout(*small_image.shape[:2])
+    planar = to_planar_padded(small_image, layout)
+    assert planar.shape == layout.shape
+    np.testing.assert_array_equal(
+        from_planar_padded(planar, layout), small_image)
+
+
+def test_planar_padding_is_mirror(gradient_image):
+    layout = make_layout(*gradient_image.shape[:2])
+    planar = to_planar_padded(gradient_image, layout)
+    ch0 = planar[0]
+    py, px = layout.pad_y, layout.pad_x
+    img0 = gradient_image[..., 0]
+    # col halo: index -1 -> 1, -2 -> 2; w -> w-1, w+1 -> w-2
+    np.testing.assert_array_equal(ch0[py:py + layout.height, px - 1],
+                                  img0[:, 1])
+    np.testing.assert_array_equal(ch0[py:py + layout.height, px - 2],
+                                  img0[:, 2])
+    np.testing.assert_array_equal(
+        ch0[py:py + layout.height, px + layout.width], img0[:, -1])
+    np.testing.assert_array_equal(
+        ch0[py:py + layout.height, px + layout.width + 1], img0[:, -2])
+    # row halo
+    np.testing.assert_array_equal(ch0[py - 1, px:px + layout.width],
+                                  img0[1, :])
+    np.testing.assert_array_equal(ch0[py + layout.height, px:px + layout.width],
+                                  img0[-1, :])
+
+
+@pytest.mark.parametrize("col", COLS)
+def test_pallas_matches_oracle_random(col, small_image):
+    np.testing.assert_array_equal(run_pallas(col, small_image),
+                                  oracle.IMAGE_OPS[col](small_image),
+                                  err_msg=col)
+
+
+@pytest.mark.parametrize("col", COLS)
+def test_pallas_matches_oracle_edges(col, gradient_image):
+    np.testing.assert_array_equal(run_pallas(col, gradient_image),
+                                  oracle.IMAGE_OPS[col](gradient_image),
+                                  err_msg=col)
+
+
+@pytest.mark.parametrize("col", COLS)
+def test_pallas_matches_oracle_real_image(col, fundus_crop):
+    np.testing.assert_array_equal(run_pallas(col, fundus_crop),
+                                  oracle.IMAGE_OPS[col](fundus_crop),
+                                  err_msg=col)
