@@ -58,6 +58,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--verify", action="store_true",
                         help="Check every op output bit-exactly against the "
                              "NumPy oracle before reporting")
+    parser.add_argument("--pipeline", action="store_true",
+                        help="Add a 15th row: the fused "
+                             "grayscale+threshold+erosion+blur pipeline "
+                             "as a single kernel")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run")
     return parser
@@ -65,6 +69,9 @@ def build_parser() -> ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    from .runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.backend == "cpu":
         # The env var alone is not enough under environments whose
@@ -81,7 +88,9 @@ def main(argv: list[str] | None = None) -> int:
 
     image, filename = args.infile
     session = BenchmarkSession(image, path=args.path, device=device)
-    runner = BenchmarkRunner(session.operations(), rounds=args.rounds)
+    runner = BenchmarkRunner(
+        session.operations(include_pipeline=args.pipeline),
+        rounds=args.rounds)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

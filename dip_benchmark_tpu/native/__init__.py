@@ -144,4 +144,7 @@ def image_ops() -> dict:
             im, spec.BLUR_1X5_INT, spec.BLUR_5X1_INT, spec.BLUR_SEP5_SHIFT),
         "Gaussian-Blur-3x3": lambda im: convolution(
             im, spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
+        "Fused-Pipeline": lambda im: convolution(
+            erosion(threshold(grayscale(im)), spec.SQUARE_MASK_3X3),
+            spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
     }

@@ -33,6 +33,8 @@ def build_ops(layout: PlanarLayout) -> dict:
             layout, 5, spec.BLUR_1X5_INT, spec.BLUR_SEP5_SHIFT),
         "Gaussian-Blur-3x3": window.make_gaussian_blur_3x3(layout),
     })
+    from ...models import pipeline as pipeline_model  # lazy: avoids cycle
+    ops["Fused-Pipeline"] = pipeline_model.make_fused_pipeline_pallas(layout)
     return ops
 
 
@@ -57,5 +59,7 @@ POINT_COLS = ("Copy", "Inversion", "Threshold", "Grayscale")
 def build_crops(layout: PlanarLayout) -> dict:
     padded = _crop_padded(layout)
     windowed = _crop_windowed(layout)
-    return {col: (padded if col in POINT_COLS else windowed)
-            for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
+    crops = {col: (padded if col in POINT_COLS else windowed)
+             for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
+    crops["Fused-Pipeline"] = windowed
+    return crops

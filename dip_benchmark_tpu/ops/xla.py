@@ -163,4 +163,6 @@ IMAGE_OPS = {
     "Convolution-5x5": convolution_5x5,
     "Convolution-1x5+5x1": convolution_5x5_separated,
     "Gaussian-Blur-3x3": gaussian_blur_3x3,
+    # Extra (non-reference) row for --pipeline.
+    "Fused-Pipeline": fused_pipeline,
 }

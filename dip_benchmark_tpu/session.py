@@ -95,7 +95,7 @@ class BenchmarkSession:
             self._sample = _sync(fn(src))
         return run
 
-    def operations(self) -> list[Operation]:
+    def operations(self, include_pipeline: bool = False) -> list[Operation]:
         ops: list[Operation] = []
         for desc, prefix, col in spec.OPERATION_MATRIX:
             if col == "Upload":
@@ -111,7 +111,21 @@ class BenchmarkSession:
                 ops.append(Operation(
                     desc, prefix, col, run,
                     (lambda c=crop: c(self._sample))))
+        if include_pipeline:
+            ops.append(self.pipeline_operation())
         return ops
+
+    def pipeline_operation(self) -> Operation:
+        """Extra benchmark row: the flagship fused pipeline
+        (grayscale -> threshold -> erosion 3x3 -> blur 3x3) as ONE dispatch —
+        vs four dispatches if chained from the op table. Not part of the
+        reference matrix, so it gets no CSV column (csv writers ignore it)."""
+        fn = self._ops_impl["Fused-Pipeline"]
+        crop = self._crop["Fused-Pipeline"]
+        run = self._make_run(fn)
+        return Operation(
+            "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "pipeline",
+            "Fused-Pipeline", run, (lambda: crop(self._sample)))
 
     def _fetch_sample(self) -> np.ndarray:
         raise RuntimeError("memory ops produce no image")  # prefix == ""

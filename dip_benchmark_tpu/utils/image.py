@@ -93,7 +93,8 @@ class PlanarLayout:
     channels: int
     pad_y: int
     pad_x: int
-    band: int = 160  # must be a multiple of 8
+    band: int = 112  # multiple of 8; sized so windowed kernels'
+    # double-buffered windows + i32 compute temps fit the 16 MB VMEM budget
 
     @property
     def n_bands(self) -> int:
@@ -122,7 +123,7 @@ DMA_SLACK = 16     # >= 2*pad_y rounded up to the 8-row DMA tile
 
 
 def make_layout(height: int, width: int, channels: int = 3,
-                halo: int = DEFAULT_HALO, band: int = 160) -> PlanarLayout:
+                halo: int = DEFAULT_HALO, band: int = 112) -> PlanarLayout:
     assert band % SUBLANE == 0 and 2 * halo <= DMA_SLACK
     return PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
                         band=band)
