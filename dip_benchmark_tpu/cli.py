@@ -51,6 +51,11 @@ def build_parser() -> ArgumentParser:
                              "(default) or jitted XLA library calls")
     parser.add_argument("--backend", choices=["tpu", "cpu", "any"],
                         default="tpu", help="Device backend gate")
+    parser.add_argument("--dtype", choices=["uint8", "float32"],
+                        default="uint8",
+                        help="Data model: uint8 HWC (primary) or the "
+                             "CUDA.jl-parity float32 planar-CHW [0,1] "
+                             "variant (X-path only)")
     parser.add_argument("--csv", default=None,
                         help="Also write/update a results.csv at this path")
     parser.add_argument("--tool", default=None,
@@ -87,14 +92,17 @@ def main(argv: list[str] | None = None) -> int:
     print(describe_device(device))
 
     image, filename = args.infile
-    session = BenchmarkSession(image, path=args.path, device=device)
+    session = BenchmarkSession(image, path=args.path, device=device,
+                               dtype=args.dtype)
     runner = BenchmarkRunner(
         session.operations(include_pipeline=args.pipeline),
         rounds=args.rounds)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,
-                   verify_against=image if args.verify else None)
+                   verify_against=image if args.verify else None,
+                   verify_ops=session.oracle_ops() if args.verify else None,
+                   verify_atol=session.verify_atol)
 
     if args.profile:
         import jax

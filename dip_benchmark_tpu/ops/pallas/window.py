@@ -46,7 +46,8 @@ from .common import interpret_mode
 
 
 def _windowed_call(layout: PlanarLayout, hy: int, body,
-                   mask_args: tuple[np.ndarray, ...] = ()):
+                   mask_args: tuple[np.ndarray, ...] = (),
+                   band: int | None = None):
     """Shared skeleton: double-buffered band DMA, then
     body(x, out_ref, *mask_refs) where x is the (band + DMA_SLACK, Wp) uint8
     window holding padded rows [i*band, i*band + band + DMA_SLACK).
@@ -61,9 +62,14 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
     already double-buffers the output writes).
     """
     c, hp, wp = layout.shape
-    band = layout.band
+    if band is None:
+        band = layout.band
+    else:
+        # Per-op override for VMEM-heavy bodies: must preserve the DMA
+        # window invariants (8-row tiles, in-bounds within padded_height).
+        assert band % 8 == 0 and layout.banded_height % band == 0
     blen = band + image_mod.DMA_SLACK
-    nb = layout.n_bands
+    nb = layout.banded_height // band
     total = c * nb
     row_base = layout.pad_y - hy
     assert layout.pad_y >= hy
@@ -117,6 +123,15 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         )(planar, *mask_args)
 
     return op
+
+
+def _divisor_band(layout: PlanarLayout, factor: int) -> int:
+    """Largest multiple of 8 that divides banded_height and is <= band/factor."""
+    target = max(8, (layout.band // factor) // 8 * 8)
+    for b in range(target, 7, -8):
+        if layout.banded_height % b == 0:
+            return b
+    return 8
 
 
 def _shift(v: jax.Array, dx: int) -> jax.Array:
@@ -186,7 +201,9 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     assert int_mask.shape == (kh, kw)
     hy, hx = kh // 2, kw // 2
     assert hx <= layout.pad_x
-    band = layout.band
+    # The 25-tap unrolled 5x5 body keeps several i32 temps live; halve the
+    # band twice so its VMEM stack fits the 16 MB budget.
+    band = layout.band if kh * kw <= 9 else _divisor_band(layout, 4)
     # int32 accumulate (exact: max acc = 255*256 + 128 << 2^31). Narrower
     # types would halve VMEM traffic but i16/u16 arithmetic does not
     # legalize on this Mosaic target.
@@ -204,7 +221,8 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                 acc = t if acc is None else acc + t
         out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
 
-    return _windowed_call(layout, hy, body, mask_args=(mask_flat,))
+    return _windowed_call(layout, hy, body, mask_args=(mask_flat,),
+                          band=band)
 
 
 def make_convolution_separated_fused(layout: PlanarLayout, n: int,

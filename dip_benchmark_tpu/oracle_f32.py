@@ -1,0 +1,126 @@
+"""NumPy golden implementations for the float32 data-model variant.
+
+The reference CUDA.jl backend uses planar-CHW float32 in [0,1]
+[cuda/benchmark.jl:171-179]; SURVEY.md §2.3 lists that data model as a
+config knob worth supporting. Semantics here follow CUDA.jl where it is
+correct and the 4-of-5 consensus where it is buggy:
+
+- inversion: 1.0f - x                     [cuda/benchmark.jl:17]
+- grayscale: Rec.709 luma, replicated      [cuda/benchmark.jl:27-30]
+- threshold: x > 0.5 -> 1.0 else 0.0       [cuda/benchmark.jl:34-40]
+- erosion: true min over the structuring element (NOT the reference's
+  accumulating-sum bug, SURVEY.md §2.4.2), mirror borders (NOT its
+  skip-out-of-bounds border, §2.3 — one consistent border rule per build)
+- convolution: f32 MAC with the normalized float masks, no rounding
+  (values stay in [0,1])                   [cuda/benchmark.jl:81-103]
+
+All functions take/return float32 (C, H, W) planar arrays in [0,1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import spec
+
+
+def _check(x: np.ndarray) -> None:
+    assert x.dtype == np.float32 and x.ndim == 3 and x.shape[0] == 3, (
+        x.dtype, x.shape)
+
+
+def from_uint8_hwc(image: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 CHW in [0,1] (the CUDA.jl load path:
+    channelview + Float32, cuda/benchmark.jl:171-172)."""
+    return (np.transpose(image, (2, 0, 1)).astype(np.float32)
+            / np.float32(255.0))
+
+
+def to_uint8_hwc(x: np.ndarray) -> np.ndarray:
+    """float32 CHW [0,1] -> uint8 HWC, round-to-nearest with clamp (the
+    N0f8 conversion Images.jl applies on save, cuda/benchmark.jl:271)."""
+    v = np.clip(np.rint(x * np.float32(255.0)), 0, 255).astype(np.uint8)
+    return np.transpose(v, (1, 2, 0))
+
+
+def inversion(x: np.ndarray) -> np.ndarray:
+    _check(x)
+    return np.float32(1.0) - x
+
+
+def grayscale(x: np.ndarray) -> np.ndarray:
+    _check(x)
+    wr, wg, wb = (np.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+    gray = wr * x[0] + wg * x[1] + wb * x[2]
+    return np.broadcast_to(gray, x.shape).copy()
+
+
+def threshold(x: np.ndarray) -> np.ndarray:
+    _check(x)
+    return np.where(x > np.float32(0.5), np.float32(1.0), np.float32(0.0))
+
+
+def _mirror_pad(x: np.ndarray, py: int, px: int) -> np.ndarray:
+    h, w = x.shape[1:]
+    ys = spec.mirror_index(np.arange(-py, h + py), h)
+    xs = spec.mirror_index(np.arange(-px, w + px), w)
+    return x[:, ys[:, None], xs[None, :]]
+
+
+def erosion(x: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    _check(x)
+    mh, mw = mask.shape
+    py, px = mh // 2, mw // 2
+    padded = _mirror_pad(x, py, px)
+    h, w = x.shape[1:]
+    out = np.full_like(x, np.float32(np.inf))
+    for my in range(mh):
+        for mx in range(mw):
+            if not mask[my, mx]:
+                continue
+            out = np.minimum(out, padded[:, my:my + h, mx:mx + w])
+    return out.astype(np.float32)
+
+
+def erosion_separated(x: np.ndarray) -> np.ndarray:
+    return erosion(erosion(x, spec.SQUARE_MASK_1X3), spec.SQUARE_MASK_3X1)
+
+
+def convolution(x: np.ndarray, int_mask: np.ndarray, shift: int) -> np.ndarray:
+    """f32 MAC with the normalized mask (weight = int/2^shift, exact)."""
+    _check(x)
+    fmask = spec.mask_float(int_mask, shift)
+    kh, kw = fmask.shape
+    padded = _mirror_pad(x, kh // 2, kw // 2)
+    h, w = x.shape[1:]
+    acc = np.zeros_like(x)
+    for ky in range(kh):
+        for kx in range(kw):
+            acc += fmask[ky, kx] * padded[:, ky:ky + h, kx:kx + w]
+    return acc.astype(np.float32)
+
+
+IMAGE_OPS_F32 = {
+    "Copy": lambda x: x.copy(),
+    "Inversion": inversion,
+    "Grayscale": grayscale,
+    "Threshold": threshold,
+    "Erosion-3x3-Cross": lambda x: erosion(x, spec.CROSS_MASK_3X3),
+    "Erosion-3x3-Square": lambda x: erosion(x, spec.SQUARE_MASK_3X3),
+    "Erosion-1x3+3x1-Square": erosion_separated,
+    "Convolution-3x3": lambda x: convolution(
+        x, spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
+    "Convolution-1x3+3x1": lambda x: convolution(
+        convolution(x, spec.BLUR_1X3_INT, spec.BLUR_SEP3_SHIFT),
+        spec.BLUR_3X1_INT, spec.BLUR_SEP3_SHIFT),
+    "Convolution-5x5": lambda x: convolution(
+        x, spec.BLUR_5X5_INT, spec.BLUR_5X5_SHIFT),
+    "Convolution-1x5+5x1": lambda x: convolution(
+        convolution(x, spec.BLUR_1X5_INT, spec.BLUR_SEP5_SHIFT),
+        spec.BLUR_5X1_INT, spec.BLUR_SEP5_SHIFT),
+    "Gaussian-Blur-3x3": lambda x: convolution(
+        x, spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
+    "Fused-Pipeline": lambda x: convolution(
+        erosion(threshold(grayscale(x)), spec.SQUARE_MASK_3X3),
+        spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
+}

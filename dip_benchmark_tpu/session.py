@@ -30,27 +30,32 @@ class BenchmarkSession:
     """Builds the 14-op table over a host image for one execution path.
 
     path: "xla" (jitted library calls) or "pallas" (hand-written kernels).
+    dtype: "uint8" (primary HWC data model) or "float32" (the CUDA.jl-parity
+    planar-CHW [0,1] model, SURVEY.md §2.3; X-path only).
     """
 
     def __init__(self, host_image: np.ndarray, path: str = "pallas",
-                 device: jax.Device | None = None):
+                 device: jax.Device | None = None, dtype: str = "uint8"):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
         self.host_image = np.ascontiguousarray(host_image)
         self.path = path
+        self.dtype = dtype
         self.device = device or jax.devices()[0]
         self._sample: jax.Array | None = None
+        if dtype not in ("uint8", "float32"):
+            raise ValueError(f"Unknown dtype: {dtype!r}")
+        if dtype == "float32" and path == "pallas":
+            raise ValueError(
+                "--dtype float32 is an X-path data model (use --path xla)")
 
         # (a) initial upload — session state, untimed (the timed Upload op
         # re-does this transfer every round).
         self.image_dev = _sync(jax.device_put(self.host_image, self.device))
-        # Warm both transfer directions once so one-time PJRT/transport
-        # initialization (notably ~10^2 s of lazy D2H relay setup on tunneled
-        # TPU rigs) is absorbed here, not billed to the first op. This is the
-        # context-creation analogue of the reference's device gates
-        # (cuda/benchmark.jl:276-279); per-op compile cost still lands in the
-        # "once" column as in the reference.
-        np.asarray(_sync(jax.device_put(np.zeros((8, 128), np.uint8),
-                                        self.device)))
+        # NOTE: deliberately NO device->host transfer here — one D2H flips
+        # tunneled PJRT rigs into a degraded mode that slows every later
+        # dispatch ~500x, so all D2H is deferred to the harness's post-
+        # measurement phase (see harness module docstring). The Download
+        # operation carries its own prepare() warm-up instead.
         # Download must hand back a FRESH device array every round: jax.Array
         # caches its host copy, so re-downloading self.image_dev would time a
         # no-op after round 1. The identity jit yields a new buffer each call
@@ -67,6 +72,15 @@ class BenchmarkSession:
             self.planar_dev = _sync(jax.device_put(planar_host, self.device))
             self._ops_impl = pallas_ops.build_ops(self.layout)
             self._crop = pallas_ops.build_crops(self.layout)
+        elif path == "xla" and dtype == "float32":
+            from . import oracle_f32
+            from .ops import xla_f32
+            self.planar_f32_dev = _sync(jax.device_put(
+                oracle_f32.from_uint8_hwc(self.host_image), self.device))
+            self._ops_impl = {col: jax.jit(fn)
+                              for col, fn in xla_f32.IMAGE_OPS_F32.items()}
+            self._crop = {col: (lambda a: oracle_f32.to_uint8_hwc(
+                np.asarray(a))) for col in xla_f32.IMAGE_OPS_F32}
         elif path == "xla":
             self._ops_impl = {col: jax.jit(fn)
                               for col, fn in xla.IMAGE_OPS.items()}
@@ -83,10 +97,23 @@ class BenchmarkSession:
     def _download(self):
         return np.asarray(self._fresh_copy(self.image_dev))
 
+    def _download_prepare(self):
+        """Untimed warm-up absorbing one-time D2H transport initialization
+        (~90 s of lazy relay setup on tunneled rigs) so the Download 'once'
+        column shows transfer cost, not infrastructure setup — the context-
+        creation analogue of the reference's device gates
+        [cuda/benchmark.jl:276-279]."""
+        np.asarray(_sync(jax.device_put(np.zeros((8, 128), np.uint8),
+                                        self.device)))
+
     # -- table -------------------------------------------------------------
 
     def _device_input(self) -> jax.Array:
-        return self.planar_dev if self.path == "pallas" else self.image_dev
+        if self.path == "pallas":
+            return self.planar_dev
+        if self.dtype == "float32":
+            return self.planar_f32_dev
+        return self.image_dev
 
     def _make_run(self, fn: Callable) -> Callable[[], None]:
         src = self._device_input()
@@ -103,7 +130,9 @@ class BenchmarkSession:
                                      self._fetch_sample))
             elif col == "Download":
                 ops.append(Operation(desc, prefix, col, self._download,
-                                     self._fetch_sample))
+                                     self._fetch_sample,
+                                     prepare=self._download_prepare,
+                                     downloads=True))
             else:
                 fn = self._ops_impl[col]
                 crop = self._crop[col]
@@ -129,3 +158,24 @@ class BenchmarkSession:
 
     def _fetch_sample(self) -> np.ndarray:
         raise RuntimeError("memory ops produce no image")  # prefix == ""
+
+    @property
+    def verify_atol(self) -> int:
+        """0 for the uint8 model (bit-exact contract); 1 for float32, where
+        XLA's FMA/reassociation legitimately differs from the NumPy oracle
+        by 1 ulp, which the final u8 quantization can turn into 1 level."""
+        return 1 if self.dtype == "float32" else 0
+
+    def oracle_ops(self) -> dict:
+        """The golden-op dict matching this session's data model, for
+        harness output verification (uint8 HWC in, uint8 HWC expected out)."""
+        if self.dtype == "float32":
+            from . import oracle_f32
+
+            def wrap(col):
+                fn = oracle_f32.IMAGE_OPS_F32[col]
+                return lambda im: oracle_f32.to_uint8_hwc(
+                    fn(oracle_f32.from_uint8_hwc(im)))
+            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+        from . import native, oracle
+        return native.image_ops() if native.available() else oracle.IMAGE_OPS

@@ -1,0 +1,91 @@
+"""L5 reporting: render grouped log-scale bar charts from a results.csv.
+
+Drop-in peer of the reference's plot.py (plot.py:6-105): same input schema
+(Tool,<14 op columns>; per-round seconds), same five operation groups, one
+horizontal grouped bar chart per group with a log x-axis. Written fresh for
+this framework; axis is labeled honestly in microseconds (the reference
+mislabels its scaling by 10^4, SURVEY.md §2.4.8 — we keep the CSV unit
+contract identical so either plotter works on the same file).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+OP_GROUPS = {
+    "memory-operations": ["Upload", "Download", "Copy"],
+    "point-operations": ["Inversion", "Grayscale", "Threshold"],
+    "erosion-operations": ["Erosion-3x3-Cross", "Erosion-3x3-Square",
+                           "Erosion-1x3+3x1-Square"],
+    "convolution-3x3-operations": ["Convolution-3x3", "Convolution-1x3+3x1",
+                                   "Gaussian-Blur-3x3"],
+    "convolution-5x5-operations": ["Convolution-5x5", "Convolution-1x5+5x1"],
+}
+
+
+def read_results(csv_path: str) -> tuple[list[str], dict[str, list[float]]]:
+    """Return (tools, {op_column: [seconds per tool]})."""
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    tools = [r["Tool"] for r in rows]
+    columns = [c for c in rows[0].keys() if c != "Tool"]
+    data = {c: [float(r[c]) for r in rows] for c in columns}
+    return tools, data
+
+
+def render_group_charts(csv_path: str, outdir: str) -> list[str]:
+    """Write one PNG per op group; returns the written paths."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    tools, data = read_results(csv_path)
+    os.makedirs(outdir, exist_ok=True)
+    written = []
+    colors = plt.colormaps["tab10"](np.linspace(0, 1, max(len(tools), 3)))
+    for name, ops in OP_GROUPS.items():
+        ops = [op for op in ops if op in data]
+        if not ops:
+            continue
+        fig, ax = plt.subplots(figsize=(11, 1.2 + 1.1 * len(ops)))
+        ys = np.arange(len(ops), dtype=float)
+        bar_h = 0.8 / len(tools)
+        for t, tool in enumerate(tools):
+            vals_us = [data[op][t] * 1e6 for op in ops]
+            ax.barh(ys + t * bar_h, vals_us, bar_h, label=tool,
+                    color=colors[t])
+            for y, v in zip(ys + t * bar_h, vals_us):
+                if v > 0:
+                    ax.text(v * 1.05, y, f"{v:.0f}", va="center", fontsize=7)
+        ax.set_yticks(ys + 0.4 - bar_h / 2)
+        ax.set_yticklabels(ops)
+        ax.set_xscale("log")
+        ax.set_xlabel("time per round (µs, log scale)")
+        ax.set_title(name.replace("-", " "))
+        ax.legend(loc="lower right", fontsize=8)
+        ax.grid(axis="x", alpha=0.3)
+        fig.tight_layout()
+        path = os.path.join(outdir, f"{name}.png")
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Render grouped benchmark charts from a results.csv")
+    p.add_argument("csv", help="results.csv path (reference schema)")
+    p.add_argument("outdir", nargs="?", default=".",
+                   help="output directory for PNGs")
+    args = p.parse_args(argv)
+    for path in render_group_charts(args.csv, args.outdir):
+        print(f"Saved plot: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

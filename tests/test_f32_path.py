@@ -1,0 +1,51 @@
+"""Float32 planar-CHW data-model variant (CUDA.jl parity knob) tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import oracle_f32
+from dip_benchmark_tpu.harness import BenchmarkRunner
+from dip_benchmark_tpu.ops import xla_f32
+from dip_benchmark_tpu.session import BenchmarkSession
+
+COLS = sorted(oracle_f32.IMAGE_OPS_F32)
+
+
+def test_roundtrip(small_image):
+    f = oracle_f32.from_uint8_hwc(small_image)
+    assert f.dtype == np.float32 and f.shape == (3, 37, 53)
+    assert f.max() <= 1.0 and f.min() >= 0.0
+    np.testing.assert_array_equal(oracle_f32.to_uint8_hwc(f), small_image)
+
+
+@pytest.mark.parametrize("col", COLS)
+def test_xla_f32_matches_oracle_f32(col, small_image):
+    x = oracle_f32.from_uint8_hwc(small_image)
+    got = np.asarray(jax.jit(xla_f32.IMAGE_OPS_F32[col])(x))
+    want = oracle_f32.IMAGE_OPS_F32[col](x)
+    # XLA may fuse multiply-adds / reassociate float sums: 2 ulp tolerance.
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-7, err_msg=col)
+
+
+def test_f32_threshold_semantics():
+    x = np.array([[[0.49, 0.5, 0.51]]], np.float32).reshape(1, 1, 3)
+    x = np.broadcast_to(x.reshape(1, 1, 3), (3, 1, 3)).astype(np.float32)
+    out = oracle_f32.threshold(x)
+    np.testing.assert_array_equal(out[0, 0], [0.0, 0.0, 1.0])
+
+
+def test_f32_session_end_to_end(fundus_crop, tmp_path):
+    session = BenchmarkSession(fundus_crop, path="xla", dtype="float32")
+    runner = BenchmarkRunner(
+        session.operations(include_pipeline=True), rounds=2)
+    results = runner.run(filename="c.png", outdir=str(tmp_path),
+                         verify_against=fundus_crop,
+                         verify_ops=session.oracle_ops(),
+                         verify_atol=session.verify_atol, quiet=True)
+    assert len(results) == 15
+
+
+def test_f32_requires_xla_path(fundus_crop):
+    with pytest.raises(ValueError, match="X-path"):
+        BenchmarkSession(fundus_crop, path="pallas", dtype="float32")

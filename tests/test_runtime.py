@@ -1,0 +1,55 @@
+"""Runtime-layer tests: device gate, compilation cache config, plots."""
+
+import os
+
+import jax
+import pytest
+
+from dip_benchmark_tpu import spec
+from dip_benchmark_tpu.runtime import (DeviceGateError, backend_name,
+                                       describe_device, require_device)
+from dip_benchmark_tpu.runtime.cache import enable_compilation_cache
+from dip_benchmark_tpu.utils import reporting
+from dip_benchmark_tpu.utils.plots import (OP_GROUPS, read_results,
+                                           render_group_charts)
+
+
+def test_gate_cpu_available():
+    d = require_device("cpu")
+    assert d.platform == "cpu"
+    assert "cpu" in describe_device(d).lower()
+
+
+def test_gate_missing_backend_fails_fast():
+    with pytest.raises(DeviceGateError, match="--backend cpu"):
+        require_device("tpu")  # conftest forces the CPU-only platform
+
+
+def test_gate_any():
+    assert require_device("any") is jax.devices()[0]
+    assert backend_name() == "cpu"
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
+    enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+
+def test_plot_groups_cover_all_csv_columns():
+    grouped = [op for ops in OP_GROUPS.values() for op in ops]
+    assert sorted(grouped) == sorted(spec.CSV_COLUMNS)
+
+
+def test_render_group_charts(tmp_path):
+    results = [reporting.OpResult(d, p, c, 0.01, 1e-4)
+               for d, p, c in spec.OPERATION_MATRIX]
+    csv = tmp_path / "results.csv"
+    reporting.write_csv(str(csv), "TPU", results)
+    reporting.write_csv(str(csv), "TPU-xla", results)
+    tools, data = read_results(str(csv))
+    assert tools == ["TPU", "TPU-xla"]
+    assert data["Upload"] == [1e-4, 1e-4]
+    out = render_group_charts(str(csv), str(tmp_path / "plots"))
+    assert len(out) == 5
+    assert all(os.path.getsize(p) > 0 for p in out)
