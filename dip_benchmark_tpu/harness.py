@@ -55,9 +55,13 @@ class Operation:
 class BenchmarkRunner:
     """Runs an operations table with the reference timing/reporting protocol."""
 
-    def __init__(self, operations: list[Operation], rounds: int = 10000):
+    def __init__(self, operations: list[Operation], rounds: int = 10000,
+                 rounds_override: dict[str, int] | None = None):
+        """rounds_override: per-CSV-column round counts (e.g. fewer rounds
+        for second-scale host-transfer ops); each row prints its own N."""
         self.operations = operations
         self.rounds = rounds
+        self.rounds_override = rounds_override or {}
         self.results: list[reporting.OpResult] = []
 
     def run(self, filename: str | None = None, outdir: str | None = None,
@@ -80,17 +84,18 @@ class BenchmarkRunner:
         for op in order:
             if op.prepare is not None:
                 op.prepare()
-            time_once, time_rounds = measure_time(op.run, self.rounds)
+            n = self.rounds_override.get(op.csv_column, self.rounds)
+            time_once, time_rounds = measure_time(op.run, n)
             by_id[id(op)] = reporting.OpResult(
                 op.description, op.prefix, op.csv_column,
-                time_once, time_rounds)
+                time_once, time_rounds, rounds=n)
         self.results = [by_id[id(op)] for op in self.operations]
 
         # Phase 2: report rows in canonical order, then fetch/save/verify
         # (re-running each image op once, untimed).
         for result in self.results:
             if not quiet:
-                print(reporting.format_row(result, self.rounds, width))
+                print(reporting.format_row(result, width=width))
         for op in self.operations:
             if not op.prefix:
                 continue

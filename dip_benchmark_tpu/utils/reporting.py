@@ -22,13 +22,16 @@ class OpResult:
     csv_column: str
     time_once: float
     time_rounds: float
+    rounds: int = 10000
 
 
-def format_row(result: OpResult, rounds: int, width: int) -> str:
+def format_row(result: OpResult, rounds: int | None = None,
+               width: int = 0) -> str:
     """Byte-compatible with the reference row printers."""
+    n = result.rounds if rounds is None else rounds
     return (f"| {result.description: <{width}} "
             f"| {result.time_once:10.6f}s (once) "
-            f"| {result.time_rounds:10.6f}s ({rounds} times) |")
+            f"| {result.time_rounds:10.6f}s ({n} times) |")
 
 
 def print_results(results: list[OpResult], rounds: int) -> None:

@@ -26,7 +26,7 @@ def test_measure_time_two_phase():
 def test_row_format_matches_reference():
     r = reporting.OpResult("Inversion", "inversion", "Inversion",
                            0.357799, 0.000463)
-    row = reporting.format_row(r, 10000, width=len("Inversion"))
+    row = reporting.format_row(r, width=len("Inversion"))
     # Byte format of opencv/benchmark.py:111 & sycl/benchmark.cpp:368.
     assert row == ("| Inversion |   0.357799s (once) "
                    "|   0.000463s (10000 times) |")
