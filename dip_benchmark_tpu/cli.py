@@ -67,6 +67,13 @@ def build_parser() -> ArgumentParser:
                         help="Add a 15th row: the fused "
                              "grayscale+threshold+erosion+blur pipeline "
                              "as a single kernel")
+    parser.add_argument("--shards", type=int, default=0, metavar="N",
+                        help="Run the op matrix row-sharded across N devices "
+                             "(shard_map + ppermute halo exchange); "
+                             "0 = single device")
+    parser.add_argument("--stats", action="store_true",
+                        help="Print per-op latency distribution "
+                             "(min/p50/p95/max) under each row")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run")
     return parser
@@ -92,11 +99,15 @@ def main(argv: list[str] | None = None) -> int:
     print(describe_device(device))
 
     image, filename = args.infile
-    session = BenchmarkSession(image, path=args.path, device=device,
-                               dtype=args.dtype)
+    if args.shards:
+        from .parallel.session import ShardedBenchmarkSession
+        session = ShardedBenchmarkSession(image, n_devices=args.shards)
+    else:
+        session = BenchmarkSession(image, path=args.path, device=device,
+                                   dtype=args.dtype)
     runner = BenchmarkRunner(
         session.operations(include_pipeline=args.pipeline),
-        rounds=args.rounds)
+        rounds=args.rounds, stats=args.stats)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

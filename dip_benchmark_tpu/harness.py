@@ -35,7 +35,7 @@ import numpy as np
 from . import oracle, spec
 from .utils import reporting
 from .utils.image import save_image
-from .utils.timing import measure_time
+from .utils.timing import measure_time, measure_time_stats
 
 
 @dataclass
@@ -56,12 +56,17 @@ class BenchmarkRunner:
     """Runs an operations table with the reference timing/reporting protocol."""
 
     def __init__(self, operations: list[Operation], rounds: int = 10000,
-                 rounds_override: dict[str, int] | None = None):
+                 rounds_override: dict[str, int] | None = None,
+                 stats: bool = False):
         """rounds_override: per-CSV-column round counts (e.g. fewer rounds
-        for second-scale host-transfer ops); each row prints its own N."""
+        for second-scale host-transfer ops); each row prints its own N.
+        stats: also collect per-round latency distributions (min/p50/p95/max)
+        into self.stats — the tracing capability the reference lacks."""
         self.operations = operations
         self.rounds = rounds
         self.rounds_override = rounds_override or {}
+        self.stats = stats
+        self.op_stats: dict[str, dict[str, float]] = {}
         self.results: list[reporting.OpResult] = []
 
     def run(self, filename: str | None = None, outdir: str | None = None,
@@ -85,7 +90,11 @@ class BenchmarkRunner:
             if op.prepare is not None:
                 op.prepare()
             n = self.rounds_override.get(op.csv_column, self.rounds)
-            time_once, time_rounds = measure_time(op.run, n)
+            if self.stats:
+                time_once, time_rounds, dist = measure_time_stats(op.run, n)
+                self.op_stats[op.csv_column] = dist
+            else:
+                time_once, time_rounds = measure_time(op.run, n)
             by_id[id(op)] = reporting.OpResult(
                 op.description, op.prefix, op.csv_column,
                 time_once, time_rounds, rounds=n)
@@ -96,6 +105,12 @@ class BenchmarkRunner:
         for result in self.results:
             if not quiet:
                 print(reporting.format_row(result, width=width))
+                if self.stats and result.csv_column in self.op_stats:
+                    d = self.op_stats[result.csv_column]
+                    print(f"|   latency us: min {d['min'] * 1e6:8.1f} | "
+                          f"p50 {d['p50'] * 1e6:8.1f} | "
+                          f"p95 {d['p95'] * 1e6:8.1f} | "
+                          f"max {d['max'] * 1e6:8.1f} |")
         for op in self.operations:
             if not op.prefix:
                 continue

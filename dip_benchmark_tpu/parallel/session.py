@@ -1,0 +1,112 @@
+"""Distributed benchmark session: the op table over a device mesh.
+
+Runs the same 14-op contract with the image row-sharded across devices:
+Upload scatters the host image to all shards (H2D + layout), Copy/compute
+ops run as shard_map programs with ICI halo exchange, Download gathers.
+Memory-op payloads therefore measure the full multi-device path (scatter /
+gather / cross-shard copies), a capability the single-device reference has
+no counterpart for (SURVEY.md §2.2 'distributed communication backend').
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import spec
+from ..harness import Operation
+from .halo import make_mesh
+from .ops import build_sharded_ops
+
+
+def _sync(x):
+    return jax.block_until_ready(x)
+
+
+class ShardedBenchmarkSession:
+    """Op table over a (space=n,) mesh; image rows padded to shard evenly."""
+
+    def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
+                 mesh: Mesh | None = None):
+        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        self.mesh = mesh or make_mesh(n_space=n_devices
+                                      or len(jax.devices()))
+        n = self.mesh.shape["space"]
+        h, w, c = host_image.shape
+        # Pad rows (high-side mirror: row h+k holds img[h-1-k]) so H divides
+        # the shard count; crop on fetch. Keep pad >= 2 so windowed taps up
+        # to 2 rows past the valid region read real mirror values (not the
+        # halo-exchange's mirror-of-the-padded-edge), preserving bit-exact
+        # borders; pad == 1 would break a 5x5 tap at the last valid row.
+        pad = (-h) % n
+        if pad == 1:
+            pad += n
+        self.valid_height = h
+        img = host_image
+        if pad:
+            extra = img[h - pad:][::-1]
+            img = np.concatenate([img, extra], axis=0)
+        self.host_planar = np.ascontiguousarray(
+            np.transpose(img, (2, 0, 1)))  # (C, Hs, W)
+        self.sharding = NamedSharding(self.mesh, P(None, "space", None))
+        self.planar_dev = _sync(jax.device_put(self.host_planar,
+                                               self.sharding))
+        self._ops = build_sharded_ops(self.mesh)
+        self._sample = None
+
+    # -- memory ops ---------------------------------------------------------
+
+    def _upload(self):
+        return _sync(jax.device_put(self.host_planar, self.sharding))
+
+    def _download(self):
+        return np.asarray(self._ops["Copy"](self.planar_dev))
+
+    def _download_prepare(self):
+        np.asarray(_sync(jax.device_put(
+            np.zeros((1, self.mesh.shape["space"], 128), np.uint8),
+            self.sharding)))
+
+    # -- table --------------------------------------------------------------
+
+    def _make_run(self, fn):
+        src = self.planar_dev
+
+        def run():
+            self._sample = _sync(fn(src))
+        return run
+
+    def _fetch(self) -> np.ndarray:
+        arr = np.asarray(self._sample)[:, :self.valid_height]
+        return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+
+    def operations(self, include_pipeline: bool = False) -> list[Operation]:
+        ops: list[Operation] = []
+        for desc, prefix, col in spec.OPERATION_MATRIX:
+            if col == "Upload":
+                ops.append(Operation(desc, prefix, col, self._upload,
+                                     self._fetch))
+            elif col == "Download":
+                ops.append(Operation(desc, prefix, col, self._download,
+                                     self._fetch,
+                                     prepare=self._download_prepare,
+                                     downloads=True))
+            else:
+                ops.append(Operation(desc, prefix, col,
+                                     self._make_run(self._ops[col]),
+                                     self._fetch))
+        if include_pipeline:
+            ops.append(Operation(
+                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)",
+                "pipeline", "Fused-Pipeline",
+                self._make_run(self._ops["Fused-Pipeline"]), self._fetch))
+        return ops
+
+    @property
+    def verify_atol(self) -> int:
+        return 0  # uint8 model: bit-exact contract
+
+    def oracle_ops(self) -> dict:
+        from .. import native, oracle
+        return native.image_ops() if native.available() else oracle.IMAGE_OPS

@@ -38,3 +38,33 @@ def measure_time(func: Callable[[], Any], rounds: int) -> tuple[float, float]:
     t3 = _clock_ns()
 
     return (t1 - t0) * 1e-9, (t3 - t2) * 1e-9 / max(rounds, 1)
+
+
+def measure_time_stats(func: Callable[[], Any], rounds: int
+                       ) -> tuple[float, float, dict[str, float]]:
+    """Like measure_time but additionally records per-round timestamps and
+    returns {min, p50, p95, max} seconds — the per-kernel latency
+    distribution the reference's mean-only timer can't see (SURVEY.md §5
+    tracing gap). Per-round clock reads add ~100 ns each; the mean is
+    computed from the same loop so it stays comparable."""
+    t0 = _clock_ns()
+    func()
+    t1 = _clock_ns()
+
+    stamps = [0] * (rounds + 1)
+    stamps[0] = _clock_ns()
+    for i in range(rounds):
+        func()
+        stamps[i + 1] = _clock_ns()
+    deltas = sorted((stamps[i + 1] - stamps[i]) * 1e-9
+                    for i in range(rounds))
+    n = max(rounds, 1)
+    stats = {
+        "min": deltas[0] if deltas else 0.0,
+        "p50": deltas[len(deltas) // 2] if deltas else 0.0,
+        "p95": deltas[min(len(deltas) - 1, int(0.95 * len(deltas)))]
+        if deltas else 0.0,
+        "max": deltas[-1] if deltas else 0.0,
+    }
+    mean = (stamps[rounds] - stamps[0]) * 1e-9 / n
+    return (t1 - t0) * 1e-9, mean, stats

@@ -108,3 +108,12 @@ def test_cli_end_to_end(fundus_crop, tmp_path):
     assert len(rows) == 14
     assert csv.exists()
     assert (outdir / "copy-in.png").exists()
+
+
+def test_stats_collection(fundus_crop):
+    session = BenchmarkSession(fundus_crop, path="xla")
+    runner = BenchmarkRunner(session.operations(), rounds=3, stats=True)
+    runner.run(verify_against=None, quiet=True)
+    assert set(runner.op_stats) == set(spec.CSV_COLUMNS)
+    for d in runner.op_stats.values():
+        assert d["min"] <= d["p50"] <= d["p95"] <= d["max"]
