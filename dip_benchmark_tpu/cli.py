@@ -55,7 +55,7 @@ def build_parser() -> ArgumentParser:
                         default="uint8",
                         help="Data model: uint8 HWC (primary) or the "
                              "CUDA.jl-parity float32 planar-CHW [0,1] "
-                             "variant (X-path only)")
+                             "variant (both paths)")
     parser.add_argument("--csv", default=None,
                         help="Also write/update a results.csv at this path")
     parser.add_argument("--tool", default=None,

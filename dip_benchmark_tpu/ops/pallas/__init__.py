@@ -11,7 +11,7 @@ import numpy as np
 
 from ... import spec
 from ...utils.image import PlanarLayout, from_planar_padded
-from . import point, window
+from . import f32, point, window
 from .common import interpret_mode  # noqa: F401
 
 
@@ -62,4 +62,24 @@ def build_crops(layout: PlanarLayout) -> dict:
     crops = {col: (padded if col in POINT_COLS else windowed)
              for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
     crops["Fused-Pipeline"] = windowed
+    return crops
+
+
+def build_f32_ops(layout: PlanarLayout) -> dict:
+    return f32.build_f32_ops(layout)
+
+
+def _f32_to_u8(arr: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(arr * np.float32(255.0)), 0, 255).astype(np.uint8)
+
+
+def build_f32_crops(layout: PlanarLayout) -> dict:
+    padded = _crop_padded(layout)
+    windowed = _crop_windowed(layout)
+
+    def wrap(crop):
+        return lambda dev: crop(_f32_to_u8(np.asarray(dev)))
+    crops = {col: (wrap(padded) if col in POINT_COLS else wrap(windowed))
+             for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
+    crops["Fused-Pipeline"] = wrap(windowed)
     return crops

@@ -1,0 +1,233 @@
+"""P-path Pallas kernels for the float32 planar-CHW data model.
+
+The hand-written-kernel analogue of the CUDA.jl backend's data model
+(planar CHW float32 in [0,1], cuda/benchmark.jl:171-179), sharing the
+uint8 path's banded-DMA skeleton (_windowed_call) and layout geometry —
+only the element type and arithmetic differ (native f32, no widening,
+no rounding in convolutions). Semantics match oracle_f32 (within f32
+reassociation tolerance for convolutions; exact for point/min ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import spec
+from ...utils.image import PlanarLayout
+from .common import GRAY_BAND, POINT_BAND, interpret_mode
+from .point import _copy_dma, _elementwise
+from .window import _divisor_band, _shift, _windowed_call
+
+
+def _inversion_kernel(in_ref, out_ref):
+    out_ref[:] = jnp.float32(1.0) - in_ref[:]
+
+
+def _threshold_kernel(in_ref, out_ref):
+    out_ref[:] = jnp.where(in_ref[:] > jnp.float32(0.5),
+                           jnp.float32(1.0), jnp.float32(0.0))
+
+
+def _grayscale(layout: PlanarLayout):
+    c, hp, wp = layout.shape
+
+    def kernel(in_ref, out_ref):
+        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+        gray = wr * in_ref[0] + wg * in_ref[1] + wb * in_ref[2]
+        out_ref[0] = gray
+        out_ref[1] = gray
+        out_ref[2] = gray
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(hp, GRAY_BAND),),
+            in_specs=[pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            interpret=interpret_mode(),
+        )(planar)
+
+    return op
+
+
+def _make_erosion(layout: PlanarLayout, taps):
+    hy = max(abs(dy) for dy, _ in taps)
+    band = _divisor_band(layout, 2)  # f32 bands are 4x the bytes of u8
+
+    def body(x, out_ref, *_):
+        by_dy: dict[int, list[int]] = {}
+        for dy, dx in taps:
+            by_dy.setdefault(dy, []).append(dx)
+        acc = None
+        for dy, dxs in sorted(by_dy.items()):
+            v = x[dy + hy:dy + hy + band, :]
+            for dx in sorted(dxs):
+                t = _shift(v, dx)
+                acc = t if acc is None else jnp.minimum(acc, t)
+        out_ref[0] = acc
+
+    return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32)
+
+
+def _make_erosion_sep(layout: PlanarLayout):
+    hy = 1
+    band = _divisor_band(layout, 2)
+
+    def body(x, out_ref, *_):
+        aux = jnp.minimum(jnp.minimum(_shift(x, -1), x), _shift(x, 1))
+        out_ref[0] = jnp.minimum(
+            jnp.minimum(aux[0:band], aux[1:band + 1]), aux[2:band + 2])
+
+    return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32)
+
+
+def _make_conv(layout: PlanarLayout, int_mask: np.ndarray, shift: int):
+    kh, kw = int_mask.shape
+    hy, hx = kh // 2, kw // 2
+    band = _divisor_band(layout, 4 if kh * kw > 9 else 2)
+    fmask = spec.mask_float(int_mask, shift)
+
+    def body(x, out_ref, mask_ref):
+        acc = None
+        for ky in range(kh):
+            v = x[ky:ky + band, :]
+            for kx in range(kw):
+                t = _shift(v, kx - hx) * mask_ref[ky * kw + kx]
+                acc = t if acc is None else acc + t
+        out_ref[0] = acc
+
+    return _windowed_call(layout, hy, body,
+                          mask_args=(fmask.reshape(-1).astype(np.float32),),
+                          band=band, dtype=jnp.float32)
+
+
+def _make_conv_sep(layout: PlanarLayout, n: int, row_mask: np.ndarray,
+                   shift: int):
+    hy = n // 2
+    band = _divisor_band(layout, 2)
+    fmask = spec.mask_float(row_mask, shift).reshape(-1).astype(np.float32)
+
+    def body(x, out_ref, mask_ref):
+        aux = None
+        for kx in range(n):
+            t = _shift(x, kx - hy) * mask_ref[kx]
+            aux = t if aux is None else aux + t
+        acc = None
+        for ky in range(n):
+            t = aux[ky:ky + band, :] * mask_ref[ky]
+            acc = t if acc is None else acc + t
+        out_ref[0] = acc
+
+    return _windowed_call(layout, hy, body, mask_args=(fmask,),
+                          band=band, dtype=jnp.float32)
+
+
+def _make_blur(layout: PlanarLayout):
+    hy = 1
+    band = _divisor_band(layout, 2)
+
+    def body(x, out_ref, *_):
+        q = jnp.float32(0.25)
+        h = jnp.float32(0.5)
+        aux = q * x[0:band] + h * x[1:band + 1] + q * x[2:band + 2]
+        out_ref[0] = q * _shift(aux, -1) + h * aux + q * _shift(aux, 1)
+
+    return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32)
+
+
+def _make_pipeline(layout: PlanarLayout):
+    """Fused f32 pipeline; same structure as the uint8 flagship kernel."""
+    c, hp, wp = layout.shape
+    from ...utils import image as image_mod
+    band = _divisor_band(layout, 2)
+    blen = band + image_mod.DMA_SLACK
+    nb = layout.banded_height // band
+    hy = 2
+    row_base = layout.pad_y - hy
+
+    def kernel(in_hbm, out_ref, x_vmem, sem):
+        i = pl.program_id(0)
+
+        def dma(slot, ii):
+            return pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                x_vmem.at[slot], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
+        x = x_vmem[i % 2][:, row_base:row_base + band + 2 * hy]
+        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+        gray = wr * x[0] + wg * x[1] + wb * x[2]
+        t = jnp.where(gray > jnp.float32(0.5), jnp.float32(1.0),
+                      jnp.float32(0.0))
+        tm = jnp.minimum(jnp.minimum(_shift(t, -1), t), _shift(t, 1))
+        n = band + 2
+        e = jnp.minimum(jnp.minimum(tm[0:n], tm[1:n + 1]), tm[2:n + 2])
+        q = jnp.float32(0.25)
+        h = jnp.float32(0.5)
+        aux = q * e[0:band] + h * e[1:band + 1] + q * e[2:band + 2]
+        out = q * _shift(aux, -1) + h * aux + q * _shift(aux, 1)
+        out_ref[0] = out
+        out_ref[1] = out
+        out_ref[2] = out
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, layout.banded_height, wp),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
+            interpret=interpret_mode(),
+        )(planar)
+
+    return op
+
+
+def build_f32_ops(layout: PlanarLayout) -> dict:
+    return {
+        "Copy": _copy_dma(layout, dtype=jnp.float32),
+        "Inversion": _elementwise(_inversion_kernel, layout,
+                                  dtype=jnp.float32, band=POINT_BAND // 4),
+        "Threshold": _elementwise(_threshold_kernel, layout,
+                                  dtype=jnp.float32, band=POINT_BAND // 4),
+        "Grayscale": _grayscale(layout),
+        "Erosion-3x3-Cross": _make_erosion(
+            layout, tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                          if spec.CROSS_MASK_3X3[dy + 1, dx + 1])),
+        "Erosion-3x3-Square": _make_erosion(
+            layout, tuple((dy, dx) for dy in (-1, 0, 1)
+                          for dx in (-1, 0, 1))),
+        "Erosion-1x3+3x1-Square": _make_erosion_sep(layout),
+        "Convolution-3x3": _make_conv(layout, spec.BLUR_3X3_INT,
+                                      spec.BLUR_3X3_SHIFT),
+        "Convolution-1x3+3x1": _make_conv_sep(layout, 3, spec.BLUR_1X3_INT,
+                                              spec.BLUR_SEP3_SHIFT),
+        "Convolution-5x5": _make_conv(layout, spec.BLUR_5X5_INT,
+                                      spec.BLUR_5X5_SHIFT),
+        "Convolution-1x5+5x1": _make_conv_sep(layout, 5, spec.BLUR_1X5_INT,
+                                              spec.BLUR_SEP5_SHIFT),
+        "Gaussian-Blur-3x3": _make_blur(layout),
+        "Fused-Pipeline": _make_pipeline(layout),
+    }

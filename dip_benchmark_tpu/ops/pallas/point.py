@@ -28,7 +28,7 @@ from ...utils.image import PlanarLayout
 from .common import GRAY_BAND, POINT_BAND, interpret_mode
 
 
-def _copy_dma(layout: PlanarLayout):
+def _copy_dma(layout: PlanarLayout, dtype=jnp.uint8):
     """Device copy as ONE whole-buffer HBM->HBM DMA — no VMEM round-trip,
     the true cudaMemcpyDeviceToDevice analogue [cuda/benchmark.jl:215-219].
     (A VMEM-tiled copy kernel measures ~5x slower: HBM->VMEM->HBM.)"""
@@ -44,7 +44,7 @@ def _copy_dma(layout: PlanarLayout):
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct(layout.shape, jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct(layout.shape, dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA],
             interpret=interpret_mode(),
         )(planar)
@@ -66,10 +66,11 @@ def _threshold_kernel(in_ref, out_ref):
                            spec.THRESHOLD_MAX, 0).astype(jnp.uint8)
 
 
-def _elementwise(kernel, layout: PlanarLayout):
+def _elementwise(kernel, layout: PlanarLayout, dtype=jnp.uint8,
+                 band: int = POINT_BAND):
     c, hp, wp = layout.shape
     rows = c * hp
-    grid = (pl.cdiv(rows, POINT_BAND),)
+    grid = (pl.cdiv(rows, band),)
 
     @jax.jit
     def op(planar: jax.Array) -> jax.Array:
@@ -77,11 +78,11 @@ def _elementwise(kernel, layout: PlanarLayout):
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec((POINT_BAND, wp), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((band, wp), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((POINT_BAND, wp), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((band, wp), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((rows, wp), dtype),
             interpret=interpret_mode(),
         )(flat)
         return out.reshape(c, hp, wp)

@@ -47,7 +47,7 @@ from .common import interpret_mode
 
 def _windowed_call(layout: PlanarLayout, hy: int, body,
                    mask_args: tuple[np.ndarray, ...] = (),
-                   band: int | None = None):
+                   band: int | None = None, dtype=jnp.uint8):
     """Shared skeleton: double-buffered band DMA, then
     body(x, out_ref, *mask_refs) where x is the (band + DMA_SLACK, Wp) uint8
     window holding padded rows [i*band, i*band + band + DMA_SLACK).
@@ -116,8 +116,8 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
             out_specs=pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, layout.banded_height, wp),
-                                           jnp.uint8),
-            scratch_shapes=[pltpu.VMEM((2, blen, wp), jnp.uint8),
+                                           dtype),
+            scratch_shapes=[pltpu.VMEM((2, blen, wp), dtype),
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),
         )(planar, *mask_args)

@@ -31,7 +31,7 @@ class BenchmarkSession:
 
     path: "xla" (jitted library calls) or "pallas" (hand-written kernels).
     dtype: "uint8" (primary HWC data model) or "float32" (the CUDA.jl-parity
-    planar-CHW [0,1] model, SURVEY.md §2.3; X-path only).
+    planar-CHW [0,1] model, SURVEY.md §2.3; supported on both paths).
     """
 
     def __init__(self, host_image: np.ndarray, path: str = "pallas",
@@ -44,9 +44,6 @@ class BenchmarkSession:
         self._sample: jax.Array | None = None
         if dtype not in ("uint8", "float32"):
             raise ValueError(f"Unknown dtype: {dtype!r}")
-        if dtype == "float32" and path == "pallas":
-            raise ValueError(
-                "--dtype float32 is an X-path data model (use --path xla)")
 
         # (a) initial upload — session state, untimed (the timed Upload op
         # re-does this transfer every round).
@@ -63,7 +60,16 @@ class BenchmarkSession:
         # (~10^-4 s) to the measured D2H transfer.
         self._fresh_copy = jax.jit(jnp.copy)
 
-        if path == "pallas":
+        if path == "pallas" and dtype == "float32":
+            from .ops import pallas as pallas_ops
+            h, w, c = host_image.shape
+            self.layout = image_util.make_layout(h, w, c)
+            planar_host = image_util.to_planar_padded_f32(self.host_image,
+                                                          self.layout)
+            self.planar_dev = _sync(jax.device_put(planar_host, self.device))
+            self._ops_impl = pallas_ops.build_f32_ops(self.layout)
+            self._crop = pallas_ops.build_f32_crops(self.layout)
+        elif path == "pallas":
             from .ops import pallas as pallas_ops
             h, w, c = host_image.shape
             self.layout = image_util.make_layout(h, w, c)

@@ -143,6 +143,13 @@ def to_planar_padded(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     return np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]])
 
 
+def to_planar_padded_f32(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
+    """uint8 HWC -> float32 [0,1] (C, Hp, Wp) with mirror halo baked in
+    (the CUDA.jl load path normalization, cuda/benchmark.jl:171-172;
+    exact: u8/255 commutes with mirror indexing)."""
+    return to_planar_padded(image, layout).astype(np.float32) / np.float32(255)
+
+
 def from_planar_padded(planar: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     """(C, Hp, Wp) -> HWC uint8, cropping halo/alignment padding."""
     py, px = layout.pad_y, layout.pad_x

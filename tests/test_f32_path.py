@@ -46,6 +46,34 @@ def test_f32_session_end_to_end(fundus_crop, tmp_path):
     assert len(results) == 15
 
 
-def test_f32_requires_xla_path(fundus_crop):
-    with pytest.raises(ValueError, match="X-path"):
-        BenchmarkSession(fundus_crop, path="pallas", dtype="float32")
+PALLAS_F32_COLS = sorted(oracle_f32.IMAGE_OPS_F32)
+
+
+@pytest.mark.parametrize("col", PALLAS_F32_COLS)
+def test_pallas_f32_matches_oracle_f32(col, fundus_crop):
+    from dip_benchmark_tpu.ops import pallas as pallas_ops
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_planar_padded_f32)
+    layout = make_layout(*fundus_crop.shape[:2])
+    planar = jax.device_put(to_planar_padded_f32(fundus_crop, layout))
+    out = np.asarray(pallas_ops.build_f32_ops(layout)[col](planar))
+    want = oracle_f32.IMAGE_OPS_F32[col](
+        oracle_f32.from_uint8_hwc(fundus_crop))
+    h, w = fundus_crop.shape[:2]
+    px, py = layout.pad_x, layout.pad_y
+    if col in ("Copy", "Inversion", "Threshold", "Grayscale"):
+        got = out[:, py:py + h, px:px + w]
+    else:
+        got = out[:, :h, px:px + w]
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-7, err_msg=col)
+
+
+def test_f32_pallas_session_end_to_end(fundus_crop, tmp_path):
+    session = BenchmarkSession(fundus_crop, path="pallas", dtype="float32")
+    runner = BenchmarkRunner(
+        session.operations(include_pipeline=True), rounds=1)
+    results = runner.run(filename="c.png", outdir=str(tmp_path),
+                         verify_against=fundus_crop,
+                         verify_ops=session.oracle_ops(),
+                         verify_atol=session.verify_atol, quiet=True)
+    assert len(results) == 15
