@@ -35,6 +35,7 @@ def _threshold_kernel(in_ref, out_ref):
 
 def _grayscale(layout: PlanarLayout):
     c, hp, wp = layout.shape
+    band = max(8, GRAY_BAND // 4)  # f32 blocks are 4x the bytes of u8
 
     def kernel(in_ref, out_ref):
         wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
@@ -47,10 +48,10 @@ def _grayscale(layout: PlanarLayout):
     def op(planar: jax.Array) -> jax.Array:
         return pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(hp, GRAY_BAND),),
-            in_specs=[pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+            grid=(pl.cdiv(hp, band),),
+            in_specs=[pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((3, GRAY_BAND, wp), lambda i: (0, i, 0),
+            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
             interpret=interpret_mode(),

@@ -16,7 +16,6 @@ add a leading batch dim sharded over a data axis, giving the 2-D
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,5 @@
 """Harness, session, CLI, reporting and plot.py round-trip tests."""
 
-import io
 import os
 import subprocess
 import sys
