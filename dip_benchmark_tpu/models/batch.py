@@ -1,0 +1,87 @@
+"""Batch image processing: vmapped ops over image stacks and directories.
+
+A production-serving extension beyond the single-image reference benchmark:
+apply any op of the matrix (or the fused pipeline) to a batch of same-sized
+images in one dispatch — vmapped on one device, or sharded over a mesh's
+data axis for multi-chip throughput (composes with parallel.halo's space
+axis; see sharded_fused_pipeline for the 2-D mesh variant).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..ops import xla
+from ..utils.image import is_image_file, load_image, save_image
+
+
+def batch_op(csv_column: str):
+    """Jitted (B, H, W, C) uint8 -> (B, H, W, C) op (X-path, vmapped)."""
+    fn = xla.IMAGE_OPS[csv_column]
+    return jax.jit(jax.vmap(fn))
+
+
+def process_batch(images: np.ndarray, csv_column: str = "Fused-Pipeline",
+                  mesh: jax.sharding.Mesh | None = None) -> np.ndarray:
+    """Run one op over a uint8 (B, H, W, C) stack; optionally shard the
+    batch dim over mesh axis 'data'."""
+    op = batch_op(csv_column)
+    x = images
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        x = jax.device_put(x, sharding)
+    return np.asarray(jax.block_until_ready(op(x)))
+
+
+def process_directory(indir: str, outdir: str,
+                      csv_column: str = "Fused-Pipeline",
+                      batch_size: int = 8) -> list[str]:
+    """Process every image in `indir`, grouping same-shaped images into
+    batched dispatches. Returns the written paths."""
+    os.makedirs(outdir, exist_ok=True)
+    by_shape: dict[tuple, list[tuple[str, np.ndarray]]] = {}
+    for name in sorted(os.listdir(indir)):
+        path = os.path.join(indir, name)
+        if not is_image_file(path):
+            continue
+        img = load_image(path)
+        by_shape.setdefault(img.shape, []).append((name, img))
+
+    written = []
+    for _, items in by_shape.items():
+        for i in range(0, len(items), batch_size):
+            chunk = items[i:i + batch_size]
+            stack = np.stack([img for _, img in chunk])
+            out = process_batch(stack, csv_column)
+            for (name, _), result in zip(chunk, out):
+                dst = os.path.join(outdir, name)
+                save_image(dst, result)
+                written.append(dst)
+    return written
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    from .. import spec
+    cols = [c for c in spec.CSV_COLUMNS if c not in ("Upload", "Download")]
+    cols.append("Fused-Pipeline")
+    p = argparse.ArgumentParser(
+        description="Batch-apply a DIP op to every image in a directory")
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--op", choices=cols, default="Fused-Pipeline")
+    p.add_argument("--batch-size", type=int, default=8)
+    args = p.parse_args(argv)
+    written = process_directory(args.indir, args.outdir, args.op,
+                                args.batch_size)
+    print(f"Processed {len(written)} images -> {args.outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
