@@ -83,6 +83,24 @@ def erosion_square(x: jnp.ndarray) -> jnp.ndarray:
     return _erode_window(x, 3, 3)
 
 
+def _dilate_window(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
+    padded = mirror_pad(x, kh // 2, kw // 2)
+    return lax.reduce_window(
+        padded, np.uint8(0), lax.max,
+        window_dimensions=(kh, kw, 1), window_strides=(1, 1, 1),
+        padding="VALID")
+
+
+def dilation_square(x: jnp.ndarray) -> jnp.ndarray:
+    """Max-morphology counterpart (library completeness; the reference
+    defines but never benchmarks dilation, opencv/benchmark.py:80-82)."""
+    return _dilate_window(x, 3, 3)
+
+
+def dilation_separated(x: jnp.ndarray) -> jnp.ndarray:
+    return _dilate_window(_dilate_window(x, 1, 3), 3, 1)
+
+
 def erosion_separated(x: jnp.ndarray) -> jnp.ndarray:
     """1x3 pass into aux, then 3x1 pass (re-mirrors aux borders, like the
     reference's two-dispatch chain [sycl/benchmark.cpp:341-344])."""

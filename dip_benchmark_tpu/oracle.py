@@ -91,6 +91,31 @@ def erosion(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return out
 
 
+def dilation(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Per-channel max over the structuring element, mirror borders.
+
+    The reference defines (but never benchmarks) separable dilation helpers
+    [opencv/benchmark.py:80-82]; provided here for library completeness.
+    """
+    _check(image)
+    mh, mw = mask.shape
+    padded = mirror_pad(image, mh // 2, mw // 2)
+    h, w = image.shape[:2]
+    out = np.zeros_like(image)
+    for my in range(mh):
+        for mx in range(mw):
+            if not mask[my, mx]:
+                continue
+            out = np.maximum(out, padded[my:my + h, mx:mx + w])
+    return out
+
+
+def dilation_separated(image: np.ndarray) -> np.ndarray:
+    """[reference: opencv/benchmark.py:80-82]"""
+    aux = dilation(image, spec.SQUARE_MASK_1X3)
+    return dilation(aux, spec.SQUARE_MASK_3X1)
+
+
 def erosion_separated(image: np.ndarray) -> np.ndarray:
     """1x3 then 3x1 square erosion through an aux buffer.
 

@@ -40,3 +40,20 @@ def test_fused_pipeline_matches_oracle(fundus_crop):
     got = np.asarray(jax.jit(xla.fused_pipeline)(fundus_crop))
     want = oracle.fused_pipeline(fundus_crop)
     np.testing.assert_array_equal(got, want)
+
+
+def test_dilation_matches_oracle(small_image):
+    from dip_benchmark_tpu import spec
+    got = np.asarray(jax.jit(xla.dilation_square)(small_image))
+    want = oracle.dilation(small_image, spec.SQUARE_MASK_3X3)
+    np.testing.assert_array_equal(got, want)
+    got = np.asarray(jax.jit(xla.dilation_separated)(small_image))
+    np.testing.assert_array_equal(got, oracle.dilation_separated(small_image))
+
+
+def test_dilation_duality_with_erosion(small_image):
+    """dilate(x) == 255 - erode(255 - x) (morphological duality)."""
+    from dip_benchmark_tpu import spec
+    d = oracle.dilation(small_image, spec.SQUARE_MASK_3X3)
+    e = oracle.erosion(255 - small_image, spec.SQUARE_MASK_3X3)
+    np.testing.assert_array_equal(d, 255 - e)
