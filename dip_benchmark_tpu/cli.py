@@ -71,6 +71,11 @@ def build_parser() -> ArgumentParser:
                         help="Run the op matrix row-sharded across N devices "
                              "(shard_map + ppermute halo exchange); "
                              "0 = single device")
+    parser.add_argument("--chained", type=int, default=0, metavar="K",
+                        help="Measurement-only mode: time K in-graph chained "
+                             "applications per round and report "
+                             "per-application execution time (X-path only; "
+                             "amortizes per-dispatch overhead)")
     parser.add_argument("--stats", action="store_true",
                         help="Print per-op latency distribution "
                              "(min/p50/p95/max) under each row")
@@ -105,9 +110,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)
-    runner = BenchmarkRunner(
-        session.operations(include_pipeline=args.pipeline),
-        rounds=args.rounds, stats=args.stats)
+    if args.chained:
+        if args.verify or args.shards:
+            print("--chained is measurement-only (no --verify/--shards)",
+                  file=sys.stderr)
+            return 2
+        table = session.chained_operations(
+            args.chained, include_pipeline=args.pipeline)
+    else:
+        table = session.operations(include_pipeline=args.pipeline)
+    runner = BenchmarkRunner(table, rounds=args.rounds, stats=args.stats)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

@@ -50,6 +50,9 @@ class Operation:
     prepare: Callable[[], Any] | None = None
     # Ops whose run() itself transfers device->host; measured last.
     downloads: bool = field(default=False)
+    # One run() executes this many applications of the op (chained mode);
+    # the repeated-column time is divided by it to report per-application.
+    time_scale: int = 1
 
 
 class BenchmarkRunner:
@@ -97,7 +100,7 @@ class BenchmarkRunner:
                 time_once, time_rounds = measure_time(op.run, n)
             by_id[id(op)] = reporting.OpResult(
                 op.description, op.prefix, op.csv_column,
-                time_once, time_rounds, rounds=n)
+                time_once, time_rounds / op.time_scale, rounds=n)
         self.results = [by_id[id(op)] for op in self.operations]
 
         # Phase 2: report rows in canonical order, then fetch/save/verify

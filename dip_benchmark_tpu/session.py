@@ -150,6 +150,39 @@ class BenchmarkSession:
             ops.append(self.pipeline_operation())
         return ops
 
+    def chained_operations(self, k: int,
+                           include_pipeline: bool = False) -> list[Operation]:
+        """Measurement-only table where each timed round executes k chained
+        applications of the op inside ONE jitted program (lax.fori_loop) —
+        reporting per-APPLICATION time with per-dispatch overhead amortized
+        away. On dispatch-latency-bound rigs this is the execution
+        throughput ('speed of light') number; the regular table is the
+        per-dispatch number. X-path only (its ops are shape-preserving,
+        which chaining requires); no image dumps (outputs are k-fold
+        applications, not the benchmark contract's single application)."""
+        if self.path != "xla" or self.dtype != "uint8":
+            raise ValueError("--chained requires --path xla --dtype uint8")
+        import jax.numpy  # noqa: F401  (jax imported at module top)
+        from jax import lax
+
+        ops: list[Operation] = []
+        for desc, prefix, col in spec.OPERATION_MATRIX:
+            if col in ("Upload", "Download"):
+                continue
+            fn = xla.IMAGE_OPS[col]
+            chained = jax.jit(
+                lambda x, fn=fn: lax.fori_loop(0, k, lambda i, v: fn(v), x))
+            ops.append(Operation(desc, "", col, self._make_run(chained),
+                                 self._fetch_sample, time_scale=k))
+        if include_pipeline:
+            chained = jax.jit(lambda x: lax.fori_loop(
+                0, k, lambda i, v: xla.fused_pipeline(v), x))
+            ops.append(Operation(
+                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "",
+                "Fused-Pipeline", self._make_run(chained),
+                self._fetch_sample, time_scale=k))
+        return ops
+
     def pipeline_operation(self) -> Operation:
         """Extra benchmark row: the flagship fused pipeline
         (grayscale -> threshold -> erosion 3x3 -> blur 3x3) as ONE dispatch —

@@ -116,3 +116,14 @@ def test_stats_collection(fundus_crop):
     assert set(runner.op_stats) == set(spec.CSV_COLUMNS)
     for d in runner.op_stats.values():
         assert d["min"] <= d["p50"] <= d["p95"] <= d["max"]
+
+
+def test_chained_mode(fundus_crop):
+    session = BenchmarkSession(fundus_crop, path="xla")
+    ops = session.chained_operations(4, include_pipeline=True)
+    assert len(ops) == 13  # 12 device ops + pipeline, no Upload/Download
+    runner = BenchmarkRunner(ops, rounds=1)
+    results = runner.run(quiet=True)
+    assert all(r.prefix == "" for r in results)
+    with pytest.raises(ValueError, match="chained"):
+        BenchmarkSession(fundus_crop, path="pallas").chained_operations(2)
