@@ -71,6 +71,11 @@ def build_parser() -> ArgumentParser:
                         help="Run the op matrix row-sharded across N devices "
                              "(shard_map + ppermute halo exchange); "
                              "0 = single device")
+    parser.add_argument("--warm", action="store_true",
+                        help="AOT-compile all ops before timing (serving "
+                             "mode: the 'once' column then shows warm "
+                             "dispatch, not compile — unlike the reference "
+                             "contract, so off by default)")
     parser.add_argument("--chained", type=int, default=0, metavar="K",
                         help="Measurement-only mode: time K in-graph chained "
                              "applications per round and report "
@@ -110,6 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)
+    if args.warm and not args.shards:
+        from .runtime.aot import warm
+        warm(session)
     if args.chained:
         if args.verify or args.shards:
             print("--chained is measurement-only (no --verify/--shards)",
