@@ -37,6 +37,10 @@ class BenchmarkSession:
     def __init__(self, host_image: np.ndarray, path: str = "pallas",
                  device: jax.Device | None = None, dtype: str = "uint8"):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        if min(host_image.shape[:2]) < 5:
+            raise ValueError(
+                f"image must be at least 5x5 for the 5x5 convolution ops, "
+                f"got {host_image.shape[0]}x{host_image.shape[1]}")
         self.host_image = np.ascontiguousarray(host_image)
         self.path = path
         self.dtype = dtype

@@ -127,3 +127,9 @@ def test_chained_mode(fundus_crop):
     assert all(r.prefix == "" for r in results)
     with pytest.raises(ValueError, match="chained"):
         BenchmarkSession(fundus_crop, path="pallas").chained_operations(2)
+
+
+def test_tiny_image_rejected():
+    img = np.zeros((3, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="5x5"):
+        BenchmarkSession(img, path="xla")
