@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import spec
 from ..harness import Operation
+from ..session import AotOp
 from .halo import make_mesh
 from .ops import build_sharded_ops
 
@@ -72,9 +73,10 @@ class ShardedBenchmarkSession:
 
     def _make_run(self, fn):
         src = self.planar_dev
+        op = AotOp(fn) if hasattr(fn, "lower") else fn
 
         def run():
-            self._sample = _sync(fn(src))
+            self._sample = _sync(op(src))
         return run
 
     def _fetch(self) -> np.ndarray:

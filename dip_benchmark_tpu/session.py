@@ -26,6 +26,23 @@ def _sync(x):
     return jax.block_until_ready(x)
 
 
+class AotOp:
+    """Self-upgrading op handle: the first call traces+compiles (so the
+    benchmark's 'once' column includes compile cost, like every reference
+    backend's JIT), and later calls invoke the compiled executable directly
+    — measured ~16 us cheaper per dispatch than going through jax.jit's
+    call path, which is significant in the dispatch-bound regime."""
+
+    def __init__(self, jitted):
+        self._jitted = jitted
+        self._compiled = None
+
+    def __call__(self, x):
+        if self._compiled is None:
+            self._compiled = self._jitted.lower(x).compile()
+        return self._compiled(x)
+
+
 class BenchmarkSession:
     """Builds the 14-op table over a host image for one execution path.
 
@@ -127,9 +144,10 @@ class BenchmarkSession:
 
     def _make_run(self, fn: Callable) -> Callable[[], None]:
         src = self._device_input()
+        op = AotOp(fn) if hasattr(fn, "lower") else fn
 
         def run():
-            self._sample = _sync(fn(src))
+            self._sample = _sync(op(src))
         return run
 
     def operations(self, include_pipeline: bool = False) -> list[Operation]:
