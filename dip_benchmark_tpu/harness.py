@@ -60,15 +60,19 @@ class BenchmarkRunner:
 
     def __init__(self, operations: list[Operation], rounds: int = 10000,
                  rounds_override: dict[str, int] | None = None,
-                 stats: bool = False):
+                 stats: bool = False, warmup: int = 0):
         """rounds_override: per-CSV-column round counts (e.g. fewer rounds
         for second-scale host-transfer ops); each row prints its own N.
         stats: also collect per-round latency distributions (min/p50/p95/max)
-        into self.stats — the tracing capability the reference lacks."""
+        into self.stats — the tracing capability the reference lacks.
+        warmup: untimed post-compile calls before each op's timed loop
+        (capped at 1 for second-scale host-transfer ops); see
+        utils.timing.measure_time."""
         self.operations = operations
         self.rounds = rounds
         self.rounds_override = rounds_override or {}
         self.stats = stats
+        self.warmup = warmup
         self.op_stats: dict[str, dict[str, float]] = {}
         self.results: list[reporting.OpResult] = []
 
@@ -93,11 +97,15 @@ class BenchmarkRunner:
             if op.prepare is not None:
                 op.prepare()
             n = self.rounds_override.get(op.csv_column, self.rounds)
+            warm = (min(self.warmup, 1)
+                    if op.csv_column in ("Upload", "Download")
+                    else self.warmup)
             if self.stats:
-                time_once, time_rounds, dist = measure_time_stats(op.run, n)
+                time_once, time_rounds, dist = measure_time_stats(
+                    op.run, n, warmup=warm)
                 self.op_stats[op.csv_column] = dist
             else:
-                time_once, time_rounds = measure_time(op.run, n)
+                time_once, time_rounds = measure_time(op.run, n, warmup=warm)
             by_id[id(op)] = reporting.OpResult(
                 op.description, op.prefix, op.csv_column,
                 time_once, time_rounds / op.time_scale, rounds=n)
