@@ -64,19 +64,27 @@ def make_fused_pipeline_pallas(layout: PlanarLayout):
         b = x_vmem[2].astype(jnp.int32).astype(jnp.float32)
         wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
         gray = ((wb * b + wg * g) + wr * r).astype(jnp.int32)  # (band+4, wp)
-        # Stage 2: threshold.
+        # Stage 2: threshold -> binary {0, 255} values.
         t = jnp.where(gray > spec.THRESHOLD_VALUE, spec.THRESHOLD_MAX, 0)
-        # Stage 3: erosion 3x3 square -> rows [1, band+3) of t.
-        tm = jnp.minimum(jnp.minimum(_shift(t, -1), t), _shift(t, 1))
-        n = band + 2
-        v = jnp.minimum(jnp.minimum(tm[0:n], tm[1:n + 1]), tm[2:n + 2])
-        # Stage 4: specialized 3x3 blur (separable, exact int) -> band rows.
-        aux = _shift(v, -1) + (v << 1) + _shift(v, 1)
-        out = ((aux[0:band] + (aux[1:band + 1] << 1)
-                + aux[2:band + 2] + 8) >> 4).astype(jnp.uint8)
-        out_ref[0] = out
-        out_ref[1] = out
-        out_ref[2] = out
+        # Stages 3+4 run packed-16: two output rows per i32 lane, halves
+        # overlapping by the remaining halo (ops/pallas/window.py docstring).
+        hb = band // 2
+        w_rows = hb + 4
+        p = t[0:w_rows] + (t[hb:hb + w_rows] << 16)
+        # Stage 3: erosion 3x3 square on binary values — min == bitwise AND
+        # on {0, 255}, and AND never carries across the packing boundary.
+        pm = _shift(p, -1) & p & _shift(p, 1)
+        n = hb + 2
+        v = pm[0:n] & pm[1:n + 1] & pm[2:n + 2]
+        # Stage 4: specialized 3x3 blur (separable, exact int): fields stay
+        # <= 4*1020 + 8 < 2^16, so packed MACs are exact.
+        aux = v[0:hb] + (v[1:hb + 1] << 1) + v[2:hb + 2]
+        o = _shift(aux, -1) + (aux << 1) + _shift(aux, 1)
+        lo = (((o & 0xFFFF) + 8) >> 4).astype(jnp.uint8)
+        hi = ((jax.lax.shift_right_logical(o, 16) + 8) >> 4).astype(jnp.uint8)
+        for ch in range(3):
+            out_ref[ch, 0:hb] = lo
+            out_ref[ch, hb:band] = hi
 
     @jax.jit
     def op(planar: jax.Array) -> jax.Array:

@@ -145,25 +145,71 @@ def _shift(v: jax.Array, dx: int) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # Erosion (min-reduce). Geometry is compile-time specialized per op, like the
-# reference's per-mask dispatches; reduce on uint8 directly.
+# reference's per-mask dispatches. Structure detection picks the cheapest
+# exact formulation (measured on hardware, benchmarks/tuning/kernel_lab*.py):
+#   rectangle  -> separable row-min then col-min (4 mins for 3x3 square,
+#                 2.3x faster than the 9-tap reduce: 344 -> 150 us/image)
+#   plus-shape -> column-min + lane-shifted center row (4 mins for the cross)
+#   generic    -> per-tap min reduce (any structuring element)
 # ---------------------------------------------------------------------------
+
+def _tap_structure(taps: tuple[tuple[int, int], ...]) -> str:
+    s = set(taps)
+    dys = sorted({dy for dy, _ in taps})
+    dxs = sorted({dx for _, dx in taps})
+    if s == {(dy, dx) for dy in dys for dx in dxs}:
+        return "rect"
+    if (0, 0) in s and s == {(dy, 0) for dy in dys} | {(0, dx) for dx in dxs}:
+        return "plus"
+    return "generic"
+
 
 def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
     hy = max(abs(dy) for dy, _ in taps)
     band = layout.band
+    structure = _tap_structure(taps)
+    dys = sorted({dy for dy, _ in taps})
+    dxs = sorted({dx for _, dx in taps})
 
-    def body(x_vmem, out_ref, *_):
+    def body_rect(x_vmem, out_ref, *_):
+        v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
+        h = None
+        for dx in dxs:
+            t = _shift(v, dx)
+            h = t if h is None else jnp.minimum(h, t)
+        acc = None
+        for dy in dys:
+            t = h[dy + hy:dy + hy + band]
+            acc = t if acc is None else jnp.minimum(acc, t)
+        out_ref[0] = acc.astype(jnp.uint8)
+
+    def body_plus(x_vmem, out_ref, *_):
+        v = x_vmem[:, :].astype(jnp.int32)
+        mid = v[hy:hy + band]
+        acc = None
+        for dy in dys:  # the dx == 0 column, slices only
+            t = v[dy + hy:dy + hy + band]
+            acc = t if acc is None else jnp.minimum(acc, t)
+        for dx in dxs:
+            if dx == 0:
+                continue  # (0, 0) already covered by the dy loop
+            acc = jnp.minimum(acc, _shift(mid, dx))
+        out_ref[0] = acc.astype(jnp.uint8)
+
+    def body_generic(x_vmem, out_ref, *_):
         by_dy: dict[int, list[int]] = {}
         for dy, dx in taps:
             by_dy.setdefault(dy, []).append(dx)
         acc = None
-        for dy, dxs in sorted(by_dy.items()):
+        for dy, dxs_ in sorted(by_dy.items()):
             v = x_vmem[dy + hy:dy + hy + band, :].astype(jnp.int32)
-            for dx in sorted(dxs):
+            for dx in sorted(dxs_):
                 t = _shift(v, dx)
                 acc = t if acc is None else jnp.minimum(acc, t)
         out_ref[0] = acc.astype(jnp.uint8)
 
+    body = {"rect": body_rect, "plus": body_plus,
+            "generic": body_generic}[structure]
     return _windowed_call(layout, hy, body)
 
 
@@ -191,8 +237,23 @@ def make_erosion_separated_fused(layout: PlanarLayout):
 
 
 # ---------------------------------------------------------------------------
-# Convolution (integer MAC, runtime mask values in SMEM)
+# Convolution (integer MAC, runtime mask values in SMEM).
+#
+# Packed-16 formulation (the default whenever exact): two output rows share
+# one i32 lane as independent 16-bit fields (lo = rows [0, band/2), hi =
+# rows [band/2, band)), so every roll/multiply/add processes two rows per
+# vector op — measured 1.6x on the dense 3x3 (303 -> 187 us/image,
+# benchmarks/tuning/kernel_lab4.py). Exactness: every field value is bounded
+# by 255 * sum(mask) < 2^16 (checked at build time), fields are nonnegative,
+# and no VPU op carries across bit 16; the hi field may reach the i32 sign
+# bit, which is harmless modulo 2^32 as long as extraction uses a LOGICAL
+# right shift. Falls back to the plain i32 body for masks where the bound
+# fails (negative or large-sum masks).
 # ---------------------------------------------------------------------------
+
+def _packable(int_mask: np.ndarray) -> bool:
+    return bool((int_mask >= 0).all()) and 255 * int(int_mask.sum()) < (1 << 16)
+
 
 def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                      int_mask: np.ndarray, acc_dtype=None):
@@ -201,26 +262,56 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     assert int_mask.shape == (kh, kw)
     hy, hx = kh // 2, kw // 2
     assert hx <= layout.pad_x
-    # The 25-tap unrolled 5x5 body keeps several i32 temps live; halve the
-    # band twice so its VMEM stack fits the 16 MB budget.
-    band = layout.band if kh * kw <= 9 else _divisor_band(layout, 4)
-    # int32 accumulate (exact: max acc = 255*256 + 128 << 2^31). Narrower
-    # types would halve VMEM traffic but i16/u16 arithmetic does not
-    # legalize on this Mosaic target.
+    # The unrolled 5x5 body keeps several i32 temps live; shrink the band
+    # so its VMEM stack fits the 16 MB budget (packing halves temp heights,
+    # so the packed body affords a larger band than the legacy one).
+    packed = _packable(int_mask)
+    if kh * kw <= 9:
+        band = layout.band
+    else:
+        band = _divisor_band(layout, 2 if packed else 4)
     acc_dtype = acc_dtype or jnp.int32
     mask_flat = int_mask.astype(np.int32).reshape(-1)
     half = 1 << (shift - 1)
+    hb = band // 2
 
-    def body(x_vmem, out_ref, mask_ref):
+    def body_packed(x_vmem, out_ref, mask_ref):
+        # Column-sums first (row slices, no rolls), then ONE lane roll per
+        # mask column: kh*kw MACs + kw rolls instead of kh*kw rolls — rolls
+        # are the most expensive VPU op in the loop (kernel_lab2 data).
+        rows = [None] * kh
         acc = None
-        for ky in range(kh):
-            v = x_vmem[ky:ky + band, :].astype(acc_dtype)
-            for kx in range(kw):
-                w = mask_ref[ky * kw + kx]
-                t = _shift(v, kx - hx) * w
-                acc = t if acc is None else acc + t
+        for kx in range(kw):
+            col = None
+            for ky in range(kh):
+                if rows[ky] is None:
+                    lo = x_vmem[ky:ky + hb, :].astype(jnp.int32)
+                    hi = x_vmem[hb + ky:hb + ky + hb, :].astype(jnp.int32)
+                    rows[ky] = lo + (hi << 16)
+                t = rows[ky] * mask_ref[ky * kw + kx]
+                col = t if col is None else col + t
+            col = _shift(col, kx - hx)
+            acc = col if acc is None else acc + col
+        out_ref[0, 0:hb] = (((acc & 0xFFFF) + half) >> shift
+                            ).astype(jnp.uint8)
+        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(acc, 16) + half)
+                               >> shift).astype(jnp.uint8)
+
+    def body_i32(x_vmem, out_ref, mask_ref):
+        rows = [None] * kh
+        acc = None
+        for kx in range(kw):
+            col = None
+            for ky in range(kh):
+                if rows[ky] is None:
+                    rows[ky] = x_vmem[ky:ky + band, :].astype(acc_dtype)
+                t = rows[ky] * mask_ref[ky * kw + kx]
+                col = t if col is None else col + t
+            col = _shift(col, kx - hx)
+            acc = col if acc is None else acc + col
         out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
 
+    body = body_packed if packed else body_i32
     return _windowed_call(layout, hy, body, mask_args=(mask_flat,),
                           band=band)
 
@@ -233,14 +324,45 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
     exact pass-1 uint8 value held in int32 (pass 1 result is in [0,255]), and
     baked mirror rows reproduce the aux re-mirroring (masks are symmetric).
     [reference: sycl/benchmark.cpp:347-356, opencv/benchmark.py:84-90]
+
+    Packed-16 (see make_convolution): halves overlap here — lo covers window
+    rows [0, band/2 + 2*hy), hi covers [band/2, band + 2*hy) — so pass 2's
+    row slices [ky, ky + band/2) read the right window rows for both output
+    halves. The pass-1 field quantization extracts, shifts, and repacks.
     """
     hy = n // 2
     assert hy <= layout.pad_y and hy <= layout.pad_x
     band = layout.band
     mask_flat = row_mask.astype(np.int32).reshape(-1)
     half = 1 << (shift - 1)
+    packed = _packable(row_mask)
+    hb = band // 2
+    w_rows = hb + 2 * hy
 
-    def body(x_vmem, out_ref, mask_ref):
+    def body_packed(x_vmem, out_ref, mask_ref):
+        lo = x_vmem[0:w_rows, :].astype(jnp.int32)
+        hi = x_vmem[hb:hb + w_rows, :].astype(jnp.int32)
+        v = lo + (hi << 16)
+        aux = None
+        for kx in range(n):
+            w = mask_ref[kx]
+            t = _shift(v, kx - hy) * w
+            aux = t if aux is None else aux + t
+        # pass-1 u8 quantization per field, then repack
+        lo_a = ((aux & 0xFFFF) + half) >> shift
+        hi_a = (jax.lax.shift_right_logical(aux, 16) + half) >> shift
+        aux = lo_a + (hi_a << 16)
+        acc = None
+        for ky in range(n):
+            w = mask_ref[ky]
+            t = aux[ky:ky + hb, :] * w
+            acc = t if acc is None else acc + t
+        out_ref[0, 0:hb] = (((acc & 0xFFFF) + half) >> shift
+                            ).astype(jnp.uint8)
+        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(acc, 16) + half)
+                               >> shift).astype(jnp.uint8)
+
+    def body_i32(x_vmem, out_ref, mask_ref):
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
         aux = None
         for kx in range(n):
@@ -255,6 +377,7 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
             acc = t if acc is None else acc + t
         out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
 
+    body = body_packed if packed else body_i32
     return _windowed_call(layout, hy, body, mask_args=(mask_flat,))
 
 
@@ -262,20 +385,27 @@ def make_gaussian_blur_3x3(layout: PlanarLayout):
     """Op #14: compile-time-specialized 3x3 blur. Weights are immediates and
     the binomial mask is factored separably IN-REGISTER (exact: integer sums
     are associative), so this runs 6 MACs/px instead of 9 — the
-    specialization benefit the op exists to measure.
+    specialization benefit the op exists to measure. Packed-16 with
+    overlapping halves (fields <= 4*1020 + 8 < 2^16, exact).
     [reference: sycl/benchmark.cpp:204-252, cuda/benchmark.jl:105-133]
     """
     hy = 1
     band = layout.band
+    hb = band // 2
+    w_rows = hb + 2
 
     def body(x_vmem, out_ref, *_):
-        v = x_vmem[:, :].astype(jnp.int32)  # (band + 2, wp)
+        lo = x_vmem[0:w_rows, :].astype(jnp.int32)
+        hi = x_vmem[hb:hb + w_rows, :].astype(jnp.int32)
+        v = lo + (hi << 16)
         # Vertical 1-2-1 pass FIRST: its row slices need no lane rolls, so
         # the horizontal pass rolls a computed i32 value. If the rolls
         # touched the bare widened input, Mosaic would hoist them onto the
         # uint8 source and fail with 'Rotate with non-32-bit data'.
-        aux = v[0:band] + (v[1:band + 1] << 1) + v[2:band + 2]  # <= 1020
-        out_ref[0] = ((_shift(aux, -1) + (aux << 1) + _shift(aux, 1)
-                       + 8) >> 4).astype(jnp.uint8)
+        aux = v[0:hb] + (v[1:hb + 1] << 1) + v[2:hb + 2]  # fields <= 1020
+        o = _shift(aux, -1) + (aux << 1) + _shift(aux, 1)  # fields <= 4088
+        out_ref[0, 0:hb] = (((o & 0xFFFF) + 8) >> 4).astype(jnp.uint8)
+        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(o, 16) + 8)
+                               >> 4).astype(jnp.uint8)
 
     return _windowed_call(layout, hy, body)
