@@ -5,7 +5,8 @@ sycl/benchmark.cpp:389-426]: positional infile + outdir, --rounds default
 10000, device-availability gate, device banner, then run the benchmark.
 
 Added knobs (SURVEY.md §5 config plan): --path {pallas,xla}, --backend
-{tpu,cpu,any}, --csv <file>, --tool <name>, --verify, --profile <dir>.
+{tpu,cpu,any}, --csv <file>, --tool <name>, --verify, --profile <dir>,
+--exec (true per-application device execution time).
 """
 
 from __future__ import annotations
@@ -84,6 +85,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--stats", action="store_true",
                         help="Print per-op latency distribution "
                              "(min/p50/p95/max) under each row")
+    parser.add_argument("--exec", dest="exec_table", action="store_true",
+                        help="After the benchmark, print each op's TRUE "
+                             "device execution time per application "
+                             "(chained-K marginal with forced completion; "
+                             "see runtime/exec_timing.py — the repeated "
+                             "column is a dispatch-rate number on relay "
+                             "rigs). uint8 models, no --shards")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run")
     return parser
@@ -144,6 +152,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.csv:
         runner.write_csv(args.csv, tool=args.tool or f"TPU-{args.path}")
+
+    # Execution-time table LAST: its forced-completion D2H flips relay rigs
+    # into a degraded dispatch mode that would poison regular measurements.
+    if args.exec_table:
+        if args.shards or args.chained:
+            print("--exec is incompatible with --shards/--chained",
+                  file=sys.stderr)
+            return 2
+        print("| device execution time per application "
+              "(chained-K marginal) |")
+        for col, t in session.execution_table(
+                include_pipeline=args.pipeline):
+            print(f"| {col:42s} | {t:10.6f}s |")
     return 0
 
 

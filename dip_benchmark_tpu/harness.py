@@ -22,6 +22,13 @@ On top of the reference contract this harness adds: programmatic results.csv
 writing, optional bit-exact output verification against the NumPy/native
 oracle (the reference had only manual golden-image eyeballing, SURVEY.md §4),
 and an optional jax.profiler trace hook.
+
+Timing semantics: each round calls jax.block_until_ready; on directly-
+attached backends that measures completed work (SYCL-style). On relay rigs
+it acks enqueue, so the repeated column is a dispatch-rate number like the
+reference's async CUDA.jl/OpenCV/MATLAB rows — see utils/timing.py and
+docs/DESIGN.md §4; true execution time comes from session.execution_table
+(the --exec flag).
 """
 
 from __future__ import annotations

@@ -1,0 +1,76 @@
+"""True device-execution timing via the chained-K marginal method.
+
+Why this exists: `jax.block_until_ready` is only guaranteed to await
+completed device work on directly-attached PJRT backends. On relay-tunneled
+rigs (the axon transport this framework is benchmarked on) it acks the
+ENQUEUE — a dispatch loop then measures submission rate, exactly like the
+reference's async CUDA.jl/OpenCV/MATLAB timing loops (SURVEY.md §2.4.4,
+/root/reference/benchmarks/cuda/benchmark.jl:160-164). Measured proof: wall
+time of a dispatch is flat whether the compiled program applies an op 100 or
+1000 times in-graph (benchmarks/tuning/sync_probe.py).
+
+Method: compile one program that applies the op K times inside a
+`lax.fori_loop`, force completion by fetching ONE element of the result
+(a D2H read that PJRT cannot satisfy before execution finishes), and take
+the marginal over two K values:
+
+    t_exec = (T(K2) - T(K1)) / (K2 - K1)
+
+The fixed enqueue + sync round-trip (~30 ms on the relay) cancels in the
+difference. Windowed Pallas ops change shape (banded output), so their
+chain re-inserts the output into the padded buffer with a TILE-ALIGNED
+`dynamic_update_slice` at row 0 (an unaligned row offset would cost an
+extra ~450 us/pass of sublane shuffling and poison the measurement —
+benchmarks/tuning/kernel_lab3.py); the chain copy's own cost is reported
+via the `Passthrough` row so readers can subtract it.
+
+Chained values drift from real op outputs (op composition, clipped halos) —
+that is fine: only shapes and op code paths matter for timing, and output
+correctness is established separately by the harness's `--verify`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+
+import jax
+from jax import lax
+
+
+def _chain_direct(op: Callable, k: int, x: jax.Array):
+    """Shape-preserving op: y = op(y), k times in-graph."""
+    return jax.jit(
+        lambda v: lax.fori_loop(0, k, lambda i, u: op(u), v)
+    ).lower(x).compile()
+
+
+def _chain_banded(op: Callable, k: int, x: jax.Array):
+    """Banded-output op: re-insert at row 0 (tile-aligned) each iteration."""
+    def body(i, v):
+        out = op(v)
+        return lax.dynamic_update_slice(v, out.astype(v.dtype), (0, 0, 0))
+    return jax.jit(
+        lambda v: lax.fori_loop(0, k, body, v)
+    ).lower(x).compile()
+
+
+def _t_sync(fn: Callable, x: jax.Array, samples: int) -> float:
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        y = fn(x)
+        np.asarray(y.ravel()[0] if hasattr(y, "ravel") else y[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def execution_time(op: Callable, x: jax.Array, banded: bool = False,
+                   k1: int = 30, k2: int = 300, samples: int = 5) -> float:
+    """Seconds of device execution for one application of `op` on `x`."""
+    chain = _chain_banded if banded else _chain_direct
+    f1, f2 = chain(op, k1, x), chain(op, k2, x)
+    t1, t2 = _t_sync(f1, x, samples), _t_sync(f2, x, samples)
+    return max(0.0, (t2 - t1) / (k2 - k1))

@@ -177,11 +177,13 @@ class BenchmarkSession:
         """Measurement-only table where each timed round executes k chained
         applications of the op inside ONE jitted program (lax.fori_loop) —
         reporting per-APPLICATION time with per-dispatch overhead amortized
-        away. On dispatch-latency-bound rigs this is the execution
-        throughput ('speed of light') number; the regular table is the
-        per-dispatch number. X-path only (its ops are shape-preserving,
-        which chaining requires); no image dumps (outputs are k-fold
-        applications, not the benchmark contract's single application)."""
+        away. CAVEAT: rounds sync via block_until_ready, which on relay
+        rigs acks enqueue without awaiting execution, so there this mode
+        measures amortized SUBMISSION cost, not device work — use
+        execution_table (--exec) for true execution time. X-path only (its
+        ops are shape-preserving, which chaining requires); no image dumps
+        (outputs are k-fold applications, not the benchmark contract's
+        single application)."""
         if self.path != "xla" or self.dtype != "uint8":
             raise ValueError("--chained requires --path xla --dtype uint8")
         import jax.numpy  # noqa: F401  (jax imported at module top)
@@ -204,6 +206,39 @@ class BenchmarkSession:
                 "Fused-Pipeline", self._make_run(chained),
                 self._fetch_sample, time_scale=k))
         return ops
+
+    def execution_table(self, include_pipeline: bool = False,
+                        k1: int = 30, k2: int = 300,
+                        samples: int = 5) -> list[tuple[str, float]]:
+        """[(csv_column, seconds_per_application)] of TRUE device execution
+        time per op, via the chained-K marginal method (runtime/exec_timing
+        docstring: on relay rigs block_until_ready acks enqueue, so the
+        regular repeated column is a dispatch-rate number like the async
+        reference backends'; this table is the completed-work number).
+
+        D2H-bearing: run AFTER the regular measurements (the first D2H flips
+        relay rigs into a degraded dispatch mode). uint8 models only.
+        """
+        if self.dtype != "uint8":
+            raise ValueError("--exec supports the uint8 data model only")
+        from .runtime.exec_timing import execution_time
+        if self.path == "pallas":
+            from .ops.pallas import POINT_COLS
+            banded_cols = {c for c in self._ops_impl if c not in POINT_COLS}
+        else:
+            banded_cols = set()
+        src = self._device_input()
+        rows: list[tuple[str, float]] = []
+        cols = [c for _, _, c in spec.OPERATION_MATRIX
+                if c not in ("Upload", "Download")]
+        if include_pipeline:
+            cols.append("Fused-Pipeline")
+        for col in cols:
+            fn = self._ops_impl[col]
+            t = execution_time(fn, src, banded=col in banded_cols,
+                               k1=k1, k2=k2, samples=samples)
+            rows.append((col, t))
+        return rows
 
     def pipeline_operation(self) -> Operation:
         """Extra benchmark row: the flagship fused pipeline

@@ -4,10 +4,14 @@ Reference contract [opencv/benchmark.py:26-38, sycl/benchmark.cpp:25-39]:
 run once (timed — includes compile/JIT cost, the "once" column), then run
 `rounds` times and report the mean (the "repeatedly" column).
 
-Unlike the CUDA.jl/OpenCV/MATLAB references, which time asynchronous dispatch
-(SURVEY.md §2.4.4), thunks passed here MUST synchronize internally
-(jax.block_until_ready) so we measure completed device work, matching the
-SYCL reference's per-round `.wait()` semantics [sycl/benchmark.cpp:32].
+Thunks passed here synchronize internally via jax.block_until_ready. On
+directly-attached PJRT backends that awaits completed device work (the SYCL
+reference's per-round `.wait()` semantics, sycl/benchmark.cpp:32). On
+relay-tunneled rigs block_until_ready acks the ENQUEUE only (measured:
+benchmarks/tuning/sync_probe.py), making the repeated column a
+dispatch-rate number — the same semantics as the async CUDA.jl/OpenCV/
+MATLAB reference rows (SURVEY.md §2.4.4). True per-application execution
+time is measured by runtime/exec_timing.py (the --exec flag).
 
 A native C++ steady-clock timer is used when the optional `_dipnative`
 extension is built; otherwise time.perf_counter_ns (both are monotonic

@@ -129,6 +129,24 @@ def test_chained_mode(fundus_crop):
         BenchmarkSession(fundus_crop, path="pallas").chained_operations(2)
 
 
+def test_execution_table(fundus_crop):
+    """The --exec measurement path: chained-K marginal on both paths.
+
+    On CPU block_until_ready does sync, so values are real but tiny; the
+    assertion is structural (12 device rows + pipeline, non-negative)."""
+    for path in ("xla", "pallas"):
+        session = BenchmarkSession(fundus_crop, path=path)
+        rows = session.execution_table(include_pipeline=True,
+                                       k1=2, k2=6, samples=2)
+        cols = [c for c, _ in rows]
+        assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
+        assert "Upload" not in cols and "Download" not in cols
+        assert all(t >= 0.0 for _, t in rows)
+    with pytest.raises(ValueError, match="uint8"):
+        BenchmarkSession(fundus_crop, path="xla",
+                         dtype="float32").execution_table()
+
+
 def test_tiny_image_rejected():
     img = np.zeros((3, 4, 3), np.uint8)
     with pytest.raises(ValueError, match="5x5"):
