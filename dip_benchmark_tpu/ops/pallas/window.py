@@ -266,8 +266,8 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     # so its VMEM stack fits the 16 MB budget (packing halves temp heights,
     # so the packed body affords a larger band than the legacy one).
     packed = _packable(int_mask)
-    if kh * kw <= 9:
-        band = layout.band
+    if kh * kw <= 9 or (packed and kh * kw <= 25):
+        band = layout.band  # packed halves temp heights: full band fits
     else:
         band = _divisor_band(layout, 2 if packed else 4)
     acc_dtype = acc_dtype or jnp.int32
