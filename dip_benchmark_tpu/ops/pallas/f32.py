@@ -61,21 +61,53 @@ def _grayscale(layout: PlanarLayout):
 
 
 def _make_erosion(layout: PlanarLayout, taps):
+    """Structure-aware like the uint8 path (window._tap_structure):
+    rectangles factor into row-min then column-min, plus-shapes into the
+    center column plus lane-shifted center row — same op-count savings."""
     hy = max(abs(dy) for dy, _ in taps)
     band = _divisor_band(layout, 2)  # f32 bands are 4x the bytes of u8
+    from .window import _tap_structure
+    structure = _tap_structure(tuple(taps))
+    dys = sorted({dy for dy, _ in taps})
+    dxs = sorted({dx for _, dx in taps})
 
-    def body(x, out_ref, *_):
+    def body_rect(x, out_ref, *_):
+        h = None
+        for dx in dxs:
+            t = _shift(x, dx)
+            h = t if h is None else jnp.minimum(h, t)
+        acc = None
+        for dy in dys:
+            t = h[dy + hy:dy + hy + band]
+            acc = t if acc is None else jnp.minimum(acc, t)
+        out_ref[0] = acc
+
+    def body_plus(x, out_ref, *_):
+        mid = x[hy:hy + band]
+        acc = None
+        for dy in dys:
+            t = x[dy + hy:dy + hy + band]
+            acc = t if acc is None else jnp.minimum(acc, t)
+        for dx in dxs:
+            if dx == 0:
+                continue
+            acc = jnp.minimum(acc, _shift(mid, dx))
+        out_ref[0] = acc
+
+    def body_generic(x, out_ref, *_):
         by_dy: dict[int, list[int]] = {}
         for dy, dx in taps:
             by_dy.setdefault(dy, []).append(dx)
         acc = None
-        for dy, dxs in sorted(by_dy.items()):
+        for dy, dxs_ in sorted(by_dy.items()):
             v = x[dy + hy:dy + hy + band, :]
-            for dx in sorted(dxs):
+            for dx in sorted(dxs_):
                 t = _shift(v, dx)
                 acc = t if acc is None else jnp.minimum(acc, t)
         out_ref[0] = acc
 
+    body = {"rect": body_rect, "plus": body_plus,
+            "generic": body_generic}[structure]
     return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32)
 
 

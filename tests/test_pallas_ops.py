@@ -73,3 +73,27 @@ def test_pallas_matches_oracle_real_image(col, fundus_crop):
     np.testing.assert_array_equal(run_pallas(col, fundus_crop),
                                   oracle.IMAGE_OPS[col](fundus_crop),
                                   err_msg=col)
+
+
+def _extreme_images():
+    """Adversarial values for the packed-16 convolution arithmetic:
+    all-255 drives every accumulator field to its exact 65280 = 255*256
+    bound (one below a cross-field carry), checkerboard and stripe patterns
+    exercise field extraction at both parities and roll boundaries."""
+    h, w = 24, 40
+    yield np.full((h, w, 3), 255, np.uint8)
+    yield np.zeros((h, w, 3), np.uint8)
+    cb = np.indices((h, w)).sum(0) % 2
+    yield np.repeat((cb[..., None] * 255).astype(np.uint8), 3, axis=2)
+    stripes = (np.arange(w) % 2)[None, :, None] * 255
+    yield np.broadcast_to(stripes, (h, w, 3)).astype(np.uint8)
+    rows = (np.arange(h) % 2)[:, None, None] * 255
+    yield np.broadcast_to(rows, (h, w, 3)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("col", COLS)
+def test_pallas_matches_oracle_extreme_values(col):
+    for i, image in enumerate(_extreme_images()):
+        np.testing.assert_array_equal(
+            run_pallas(col, image), oracle.IMAGE_OPS[col](image),
+            err_msg=f"{col} extreme image #{i}")
