@@ -47,6 +47,12 @@ def inversion(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def grayscale(x: jnp.ndarray) -> jnp.ndarray:
+    # Layout-bound on TPU: per-channel access + replicated write on the
+    # C=3 minor (lane) axis costs ~5.4 ms/image however formulated —
+    # tensordot, einsum, and a CHW transpose round-trip all measure the
+    # same (xla_lab.py; the u8 HWC<->CHW relayout alone is ~2.7 ms). This
+    # is the honest price of the reference's interleaved data model on
+    # this hardware; the P-path's planar layout runs the op at ~55 us.
     r = x[..., 0].astype(jnp.float32)
     g = x[..., 1].astype(jnp.float32)
     b = x[..., 2].astype(jnp.float32)
@@ -62,25 +68,37 @@ def threshold(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Erosion (lax.reduce_window min — the library call for morphology)
+# Erosion. Library formulation choice, measured on hardware
+# (benchmarks/tuning/xla_lab.py): lax.reduce_window(min) compiles to a
+# ~1.34 ms/image kernel, while the equivalent min-of-shifted-slices fuses to
+# a single ~0.54 ms VPU pass (0.30 ms for the separable pair) — both are
+# plain jnp/lax library calls into XLA, so the X-path uses the fast one.
 # ---------------------------------------------------------------------------
 
-def _erode_window(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
-    """Min over a kh x kw rectangle, mirror borders."""
-    padded = mirror_pad(x, kh // 2, kw // 2)
-    return lax.reduce_window(
-        padded, np.uint8(255), lax.min,
-        window_dimensions=(kh, kw, 1), window_strides=(1, 1, 1),
-        padding="VALID")
-
-
-def erosion_cross(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 cross = min(1x3 row window, 3x1 col window) over one shared pad."""
-    return jnp.minimum(_erode_window(x, 1, 3), _erode_window(x, 3, 1))
+def _min_slices(p: jnp.ndarray, offs, out_h: int, out_w: int) -> jnp.ndarray:
+    """Min over (dy, dx)-shifted slices of the padded array p."""
+    c = p.shape[2]
+    acc = None
+    for dy, dx in offs:
+        t = lax.slice(p, (dy, dx, 0), (dy + out_h, dx + out_w, c))
+        acc = t if acc is None else jnp.minimum(acc, t)
+    return acc
 
 
 def erosion_square(x: jnp.ndarray) -> jnp.ndarray:
-    return _erode_window(x, 3, 3)
+    """Separable: row-min of 3 then col-min of 3 (exact factorization)."""
+    h, w, _ = x.shape
+    p = mirror_pad(x, 1, 1)
+    rows = _min_slices(p, [(0, 0), (1, 0), (2, 0)], h, w + 2)
+    return _min_slices(rows, [(0, 0), (0, 1), (0, 2)], h, w)
+
+
+def erosion_cross(x: jnp.ndarray) -> jnp.ndarray:
+    """Center column's 3 slices + the center row's 2 shifted slices."""
+    h, w, _ = x.shape
+    p = mirror_pad(x, 1, 1)
+    vert = _min_slices(p, [(0, 1), (1, 1), (2, 1)], h, w)
+    return jnp.minimum(vert, _min_slices(p, [(1, 0), (1, 2)], h, w))
 
 
 def _dilate_window(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
@@ -104,8 +122,9 @@ def dilation_separated(x: jnp.ndarray) -> jnp.ndarray:
 def erosion_separated(x: jnp.ndarray) -> jnp.ndarray:
     """1x3 pass into aux, then 3x1 pass (re-mirrors aux borders, like the
     reference's two-dispatch chain [sycl/benchmark.cpp:341-344])."""
-    aux = _erode_window(x, 1, 3)
-    return _erode_window(aux, 3, 1)
+    h, w, _ = x.shape
+    aux = _min_slices(mirror_pad(x, 0, 1), [(0, 0), (0, 1), (0, 2)], h, w)
+    return _min_slices(mirror_pad(aux, 1, 0), [(0, 0), (1, 0), (2, 0)], h, w)
 
 
 # ---------------------------------------------------------------------------
