@@ -129,6 +129,10 @@ class BenchmarkRunner:
                           f"p50 {d['p50'] * 1e6:8.1f} | "
                           f"p95 {d['p95'] * 1e6:8.1f} | "
                           f"max {d['max'] * 1e6:8.1f} |")
+        if outdir is None and verify_against is None:
+            return self.results  # nothing consumes outputs: skip the
+            # fetch pass entirely (a D2H here would needlessly flip relay
+            # rigs into degraded dispatch mode for the caller's next steps)
         for op in self.operations:
             if not op.prefix:
                 continue
