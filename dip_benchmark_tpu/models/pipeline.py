@@ -27,8 +27,14 @@ from ..utils import image as image_mod
 from ..utils.image import PlanarLayout
 
 
-def make_fused_pipeline_pallas(layout: PlanarLayout):
-    """Fused pipeline over the planar padded image; returns (C, H, Wp) u8."""
+def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
+    """Fused pipeline over the planar padded image; returns (C, H, Wp) u8.
+
+    batch=0: single image (C, Hp, Wp). batch=B: a (B, C, Hp, Wp) stack
+    processed in one dispatch with a leading batch grid dimension — the
+    serving path (jax.vmap cannot batch the ANY-memory-space input ref, so
+    batching is a grid axis instead; measured ~79 us/image either way,
+    ~104 Gpx/s, benchmarks/tuning/batch_lab.py)."""
     c, hp, wp = layout.shape
     assert c == 3
     band = layout.band
@@ -37,25 +43,33 @@ def make_fused_pipeline_pallas(layout: PlanarLayout):
     hy = 2  # erosion (1) + blur (1)
     assert layout.pad_y >= hy and layout.pad_x >= hy
     row_base = layout.pad_y - hy
+    nbatch = max(batch, 1)
 
     def kernel(in_hbm, out_ref, x_vmem, sem):
-        i = pl.program_id(0)
+        if batch:
+            bi, i = pl.program_id(0), pl.program_id(1)
+        else:
+            bi, i = 0, pl.program_id(0)
+        step = bi * nb + i
+        total = nbatch * nb
 
-        def dma(slot, ii):
+        def dma(slot, ss):
+            src = in_hbm.at[ss // nb] if batch else in_hbm
             return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                src.at[:, pl.ds(pl.multiple_of((ss % nb) * band, 8), blen),
+                       :],
                 x_vmem.at[slot], sem.at[slot])
 
-        @pl.when(i == 0)
+        @pl.when(step == 0)
         def _():
-            dma(0, i).start()
+            dma(0, 0).start()
 
-        @pl.when(i + 1 < nb)
+        @pl.when(step + 1 < total)
         def _():
-            dma((i + 1) % 2, i + 1).start()
+            dma((step + 1) % 2, step + 1).start()
 
-        dma(i % 2, i).wait()
-        x_vmem = x_vmem[i % 2][:, row_base:row_base + band + 2 * hy]
+        dma(step % 2, step).wait()
+        x_vmem = x_vmem[step % 2][:, row_base:row_base + band + 2 * hy]
         # Stage 1: grayscale (Rec.709, f32 SYCL order, truncate). All
         # arithmetic in 32-bit: this Mosaic target legalizes neither 8-bit
         # arithmetic nor u8->f32 casts (see ops/pallas/window.py docstring).
@@ -83,19 +97,37 @@ def make_fused_pipeline_pallas(layout: PlanarLayout):
         lo = (((o & 0xFFFF) + 8) >> 4).astype(jnp.uint8)
         hi = ((jax.lax.shift_right_logical(o, 16) + 8) >> 4).astype(jnp.uint8)
         for ch in range(3):
-            out_ref[ch, 0:hb] = lo
-            out_ref[ch, hb:band] = hi
+            write(out_ref, ch, slice(0, hb), lo)
+            write(out_ref, ch, slice(hb, band), hi)
+
+    if batch:
+        grid = (batch, nb)
+        out_specs = pl.BlockSpec((1, 3, band, wp),
+                                 lambda bi, i: (bi, 0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (batch, 3, layout.banded_height, wp), jnp.uint8)
+    else:
+        grid = (nb,)
+        out_specs = pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((3, layout.banded_height, wp),
+                                         jnp.uint8)
+
+    def write(out_ref, ch, sl, val):
+        if batch:
+            out_ref[0, ch, sl] = val
+        else:
+            out_ref[ch, sl] = val
 
     @jax.jit
     def op(planar: jax.Array) -> jax.Array:
         return pl.pallas_call(
             kernel,
-            grid=(nb,),
+            grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, layout.banded_height, wp),
-                                           jnp.uint8),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.uint8),
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),

@@ -18,6 +18,25 @@ def test_process_batch_matches_oracle(rng):
         np.testing.assert_array_equal(out[i], oracle.inversion(imgs[i]))
 
 
+def test_batched_pallas_pipeline_matches_oracle(rng):
+    """The serving path: fused pipeline over a (B, C, Hp, Wp) stack in one
+    Pallas dispatch (leading batch grid dim)."""
+    import jax
+    from dip_benchmark_tpu.models.pipeline import make_fused_pipeline_pallas
+    from dip_benchmark_tpu.utils.image import make_layout, to_planar_padded
+
+    imgs = rng.integers(0, 256, size=(3, 24, 40, 3), dtype=np.uint8)
+    layout = make_layout(24, 40)
+    stack = np.stack([to_planar_padded(im, layout) for im in imgs])
+    out = np.asarray(make_fused_pipeline_pallas(layout, batch=3)(
+        jax.device_put(stack)))
+    for b in range(3):
+        got = np.transpose(
+            out[b][:, :24, layout.pad_x:layout.pad_x + 40], (1, 2, 0))
+        np.testing.assert_array_equal(
+            got, oracle.IMAGE_OPS["Fused-Pipeline"](imgs[b]))
+
+
 def test_process_batch_sharded_over_data_axis(rng):
     import jax
     if len(jax.devices()) < 8:
