@@ -151,3 +151,30 @@ def test_tiny_image_rejected():
     img = np.zeros((3, 4, 3), np.uint8)
     with pytest.raises(ValueError, match="5x5"):
         BenchmarkSession(img, path="xla")
+
+
+def test_reference_plot_py_ingests_our_csv(fundus_crop, tmp_path):
+    """Drop-in reporting proof: the REFERENCE's unmodified plot.py consumes
+    a results.csv containing our programmatically written row and renders
+    its five PNGs. Skipped when the reference tree or pandas is absent."""
+    ref_plot = "/root/reference/plot.py"
+    if not os.path.exists(ref_plot):
+        pytest.skip("reference tree not mounted")
+    pytest.importorskip("pandas")
+
+    session = BenchmarkSession(fundus_crop, path="xla")
+    runner = BenchmarkRunner(session.operations(), rounds=1)
+    runner.run(quiet=True)
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    # reference rows + ours, like the shipped assets/results.csv
+    runner.write_csv(str(assets / "results.csv"), tool="TPU")
+    import shutil
+    shutil.copy(ref_plot, tmp_path / "plot.py")
+    proc = subprocess.run(
+        [sys.executable, "plot.py"], cwd=tmp_path,
+        capture_output=True, text=True,
+        env=dict(os.environ, MPLBACKEND="Agg", JAX_PLATFORMS="cpu"))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    pngs = sorted(p.name for p in assets.glob("*.png"))
+    assert len(pngs) == 5, pngs
