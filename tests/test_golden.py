@@ -50,3 +50,62 @@ def crop() -> np.ndarray:
 def test_oracle_golden(col, crop):
     h = hashlib.sha256(oracle.IMAGE_OPS[col](crop).tobytes()).hexdigest()[:16]
     assert h == GOLDEN[col], f"{col}: semantics drifted from golden"
+
+
+# Second real image: assets/emphysema.jpg (528x393), shipped by the
+# reference but referenced nowhere in its code (SURVEY.md §0) — used here
+# as an independent full-image golden fixture (no crop: full mirror borders).
+EMPHYSEMA = "/root/reference/assets/emphysema.jpg"
+EMPHYSEMA_INPUT_HASH = "f86465ffb905421b"
+EMPHYSEMA_GOLDEN = {
+    "Convolution-1x3+3x1": "37b65e0f24df40bc",
+    "Convolution-1x5+5x1": "700893bd8e8568ba",
+    "Convolution-3x3": "68a113cded79d711",
+    "Convolution-5x5": "379739a6045023f0",
+    "Copy": "f86465ffb905421b",
+    "Erosion-1x3+3x1-Square": "2ccfaf8579f1b2a2",
+    "Erosion-3x3-Cross": "738e3d2652fc1d9d",
+    "Erosion-3x3-Square": "2ccfaf8579f1b2a2",
+    "Fused-Pipeline": "0ccaf6bc326931f5",
+    "Gaussian-Blur-3x3": "68a113cded79d711",
+    "Grayscale": "803238993bf73874",
+    "Inversion": "7ca9caf2eb103790",
+    "Threshold": "6baea30ead2ac1b0",
+}
+
+
+@pytest.fixture(scope="module")
+def emphysema() -> np.ndarray:
+    if not os.path.exists(EMPHYSEMA):
+        pytest.skip("reference emphysema.jpg not mounted")
+    from dip_benchmark_tpu.utils.image import load_image
+    img = load_image(EMPHYSEMA)
+    assert (hashlib.sha256(img.tobytes()).hexdigest()[:16]
+            == EMPHYSEMA_INPUT_HASH), (
+        "emphysema.jpg decode changed — golden hashes need regeneration")
+    return img
+
+
+@pytest.mark.parametrize("col", sorted(EMPHYSEMA_GOLDEN))
+def test_oracle_golden_emphysema(col, emphysema):
+    h = hashlib.sha256(
+        oracle.IMAGE_OPS[col](emphysema).tobytes()).hexdigest()[:16]
+    assert h == EMPHYSEMA_GOLDEN[col], f"{col}: semantics drifted"
+
+
+@pytest.mark.parametrize("col", ["Erosion-3x3-Square", "Convolution-5x5",
+                                 "Fused-Pipeline"])
+def test_pallas_golden_emphysema(col, emphysema):
+    """Both execution paths reproduce the goldens on the second image."""
+    import jax
+    from dip_benchmark_tpu.ops import pallas, xla
+    from dip_benchmark_tpu.utils.image import make_layout, to_planar_padded
+    layout = make_layout(*emphysema.shape[:2])
+    planar = jax.device_put(to_planar_padded(emphysema, layout))
+    out = pallas.build_crops(layout)[col](
+        pallas.build_ops(layout)[col](planar))
+    assert (hashlib.sha256(out.tobytes()).hexdigest()[:16]
+            == EMPHYSEMA_GOLDEN[col])
+    out_x = np.asarray(jax.jit(xla.IMAGE_OPS[col])(emphysema))
+    assert (hashlib.sha256(out_x.tobytes()).hexdigest()[:16]
+            == EMPHYSEMA_GOLDEN[col])
