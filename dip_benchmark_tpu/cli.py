@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    if args.exec_table and (args.shards or args.chained
+                            or args.dtype != "uint8"):
+        print("--exec is incompatible with --shards/--chained and requires "
+              "--dtype uint8", file=sys.stderr)
+        return 2
+
     if args.backend == "cpu":
         # The env var alone is not enough under environments whose
         # sitecustomize pre-registers an accelerator plugin (e.g. axon).
@@ -156,10 +162,6 @@ def main(argv: list[str] | None = None) -> int:
     # Execution-time table LAST: its forced-completion D2H flips relay rigs
     # into a degraded dispatch mode that would poison regular measurements.
     if args.exec_table:
-        if args.shards or args.chained:
-            print("--exec is incompatible with --shards/--chained",
-                  file=sys.stderr)
-            return 2
         print("| device execution time per application "
               "(chained-K marginal) |")
         for col, t in session.execution_table(

@@ -110,7 +110,10 @@ class BenchmarkRunner:
             if self.stats:
                 time_once, time_rounds, dist = measure_time_stats(
                     op.run, n, warmup=warm)
-                self.op_stats[op.csv_column] = dist
+                # Per-application like the row (one chained round runs
+                # op.time_scale applications).
+                self.op_stats[op.csv_column] = {
+                    k: v / op.time_scale for k, v in dist.items()}
             else:
                 time_once, time_rounds = measure_time(op.run, n, warmup=warm)
             by_id[id(op)] = reporting.OpResult(

@@ -265,7 +265,10 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     # The unrolled 5x5 body keeps several i32 temps live; shrink the band
     # so its VMEM stack fits the 16 MB budget (packing halves temp heights,
     # so the packed body affords a larger band than the legacy one).
-    packed = _packable(int_mask)
+    # An explicit accumulator dtype opts out of packing (packed bodies are
+    # i32-only by construction; honoring the caller's wider/narrower choice
+    # means taking the plain path).
+    packed = acc_dtype is None and _packable(int_mask)
     if kh * kw <= 9 or (packed and kh * kw <= 25):
         band = layout.band  # packed halves temp heights: full band fits
     else:

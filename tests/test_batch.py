@@ -18,6 +18,16 @@ def test_process_batch_matches_oracle(rng):
         np.testing.assert_array_equal(out[i], oracle.inversion(imgs[i]))
 
 
+def test_process_batch_pipeline_routes_to_pallas(rng):
+    """process_batch('Fused-Pipeline') takes the batched Pallas kernel and
+    still matches the per-image oracle."""
+    imgs = rng.integers(0, 256, size=(3, 24, 40, 3), dtype=np.uint8)
+    out = batch.process_batch(imgs, "Fused-Pipeline")
+    for b in range(3):
+        np.testing.assert_array_equal(
+            out[b], oracle.IMAGE_OPS["Fused-Pipeline"](imgs[b]))
+
+
 def test_batched_pallas_pipeline_matches_oracle(rng):
     """The serving path: fused pipeline over a (B, C, Hp, Wp) stack in one
     Pallas dispatch (leading batch grid dim)."""
