@@ -36,12 +36,24 @@ def _mirror_cols(x: jnp.ndarray, px: int) -> jnp.ndarray:
 
 def _erode_local(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
     """Min over kh x kw; rows of `x` must already include (kh//2) halo rows
-    each side; cols mirror-padded here. Returns valid rows only."""
+    each side; cols mirror-padded here. Returns valid rows only.
+
+    Separable min-of-shifted-slices, like the single-device X-path: XLA
+    fuses it into one VPU pass, measured 2.4-4.6x faster than the
+    equivalent lax.reduce_window (benchmarks/tuning/xla_lab.py)."""
     padded = _mirror_cols(x, kw // 2)
-    return lax.reduce_window(
-        padded, np.uint8(255), lax.min,
-        window_dimensions=(1, kh, kw), window_strides=(1, 1, 1),
-        padding="VALID")
+    c, hp, wp = padded.shape
+    w = x.shape[2]
+    rows = None
+    for kx in range(kw):
+        t = lax.slice(padded, (0, 0, kx), (c, hp, kx + w))
+        rows = t if rows is None else jnp.minimum(rows, t)
+    h = hp - (kh - 1)
+    acc = None
+    for ky in range(kh):
+        t = lax.slice(rows, (0, ky, 0), (c, ky + h, w))
+        acc = t if acc is None else jnp.minimum(acc, t)
+    return acc
 
 
 def _conv_local(x: jnp.ndarray, int_mask: np.ndarray, shift: int
