@@ -59,8 +59,10 @@ def main() -> int:
         def body(i, v):
             out = op(v)
             if windowed:
+                # tile-ALIGNED update (row 0): an unaligned row offset
+                # costs ~450 us/pass of sublane shuffling (kernel_lab3.py)
                 return lax.dynamic_update_slice(
-                    v, out.astype(v.dtype), (0, layout.pad_y, 0))
+                    v, out.astype(v.dtype), (0, 0, 0))
             return out
 
         def f(v):
