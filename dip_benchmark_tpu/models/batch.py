@@ -9,6 +9,7 @@ axis; see sharded_fused_pipeline for the 2-D mesh variant).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -24,18 +25,26 @@ def batch_op(csv_column: str):
     return jax.jit(jax.vmap(fn))
 
 
+@functools.lru_cache(maxsize=None)
+def _batched_pipeline(layout, b: int):
+    """Cached (PlanarLayout is frozen/hashable): rebuilding the kernel per
+    process_batch call would pay trace + Mosaic lowering + XLA compile for
+    every chunk of a directory run."""
+    from .pipeline import make_fused_pipeline_pallas
+    return make_fused_pipeline_pallas(layout, batch=b)
+
+
 def _pipeline_batch_pallas(images: np.ndarray) -> np.ndarray:
     """Fused-Pipeline over a (B, H, W, C) stack via the natively batched
     Pallas kernel (leading batch grid dim, ~79 us/image on a v5e vs the
     millisecond-scale vmapped X-path — the HWC layout's grayscale alone
     costs ~5.4 ms there, see ops/xla.py)."""
     from ..utils.image import make_layout, to_planar_padded
-    from .pipeline import make_fused_pipeline_pallas
     b, h, w, _ = images.shape
     layout = make_layout(h, w)
     stack = np.stack([to_planar_padded(im, layout) for im in images])
     out = np.asarray(jax.block_until_ready(
-        make_fused_pipeline_pallas(layout, batch=b)(jax.device_put(stack))))
+        _batched_pipeline(layout, b)(jax.device_put(stack))))
     # windowed-output crop: image row 0 is at array row 0 (ops/pallas crop)
     valid = out[:, :, :h, layout.pad_x:layout.pad_x + w]
     return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
@@ -88,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
     import argparse
 
     from .. import spec
+    from ..runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
     cols = [c for c in spec.CSV_COLUMNS if c not in ("Upload", "Download")]
     cols.append("Fused-Pipeline")
     p = argparse.ArgumentParser(

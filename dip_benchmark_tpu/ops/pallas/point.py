@@ -59,6 +59,12 @@ def _inversion_kernel(in_ref, out_ref):
     out_ref[:] = in_ref[:] ^ jnp.uint8(255)
 
 
+# The SWAR formulation below encodes "> 127" as the byte's bit 7 — it is
+# only correct for this exact threshold. Fail loudly if the spec constant
+# ever moves (every other path follows the constant symbolically).
+assert spec.THRESHOLD_VALUE == 127 and spec.THRESHOLD_MAX == 255
+
+
 def _threshold_kernel(in_ref, out_ref):
     # SWAR on the native (4,1)-packed u8 tiling: bitcast reinterprets four
     # consecutive rows as one i32 lane (little-endian, verified both modes).
@@ -66,7 +72,7 @@ def _threshold_kernel(in_ref, out_ref):
     # shift to bit 0 (bits move cleanly within their byte), multiply by 255
     # (byte values <= 1: no cross-byte carry). Three vector ops per FOUR
     # pixels, vs widen-to-i32 + compare + select + narrow per pixel before
-    # (measured 57-69 us -> ~30 us/image). Exact: >127 is exactly bit 7.
+    # (measured 57-69 us -> 13.4 us/image). Exact: >127 is exactly bit 7.
     v = pltpu.bitcast(in_ref[:], jnp.int32)
     t = v & jnp.int32(np.int32(np.uint32(0x80808080)))
     r = jax.lax.shift_right_logical(t, 7) * spec.THRESHOLD_MAX

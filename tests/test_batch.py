@@ -18,11 +18,16 @@ def test_process_batch_matches_oracle(rng):
         np.testing.assert_array_equal(out[i], oracle.inversion(imgs[i]))
 
 
-def test_process_batch_pipeline_routes_to_pallas(rng):
-    """process_batch('Fused-Pipeline') takes the batched Pallas kernel and
-    still matches the per-image oracle."""
+def test_process_batch_pipeline_routes_to_pallas(rng, monkeypatch):
+    """process_batch('Fused-Pipeline') takes the batched Pallas kernel
+    (asserted via dispatch spy) and still matches the per-image oracle."""
+    calls = []
+    real = batch._pipeline_batch_pallas
+    monkeypatch.setattr(batch, "_pipeline_batch_pallas",
+                        lambda imgs: (calls.append(len(imgs)), real(imgs))[1])
     imgs = rng.integers(0, 256, size=(3, 24, 40, 3), dtype=np.uint8)
     out = batch.process_batch(imgs, "Fused-Pipeline")
+    assert calls == [3], "Fused-Pipeline did not route to the Pallas path"
     for b in range(3):
         np.testing.assert_array_equal(
             out[b], oracle.IMAGE_OPS["Fused-Pipeline"](imgs[b]))
