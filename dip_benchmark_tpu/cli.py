@@ -45,7 +45,14 @@ def build_parser() -> ArgumentParser:
                         help="Path to image file")
     parser.add_argument("outdir", type=parse_dir,
                         help="Path to image output directory")
-    parser.add_argument("--rounds", type=int, default=10000,
+    # Both rounds spellings from the reference suite: the Python sibling
+    # uses --rounds (opencv/benchmark.py:127), the C++ siblings a third
+    # positional (sycl/benchmark.cpp:393-426). The flag wins if both given.
+    parser.add_argument("rounds_pos", type=int, nargs="?", default=None,
+                        metavar="rounds",
+                        help="Times to be executed (positional form, "
+                             "like the SYCL/VisionGL backends)")
+    parser.add_argument("--rounds", type=int, default=None,
                         help="Times to be executed, default 10000")
     parser.add_argument("--path", choices=["pallas", "xla"], default="pallas",
                         help="Execution path: hand-written Pallas kernels "
@@ -141,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
             args.chained, include_pipeline=args.pipeline)
     else:
         table = session.operations(include_pipeline=args.pipeline)
-    runner = BenchmarkRunner(table, rounds=args.rounds, stats=args.stats)
+    rounds = (args.rounds if args.rounds is not None
+              else args.rounds_pos if args.rounds_pos is not None
+              else 10000)
+    runner = BenchmarkRunner(table, rounds=rounds, stats=args.stats)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

@@ -109,6 +109,21 @@ def test_cli_end_to_end(fundus_crop, tmp_path):
     assert (outdir / "copy-in.png").exists()
 
 
+def test_cli_positional_rounds(fundus_crop, tmp_path):
+    """The C++ siblings' positional rounds spelling works alongside
+    --rounds [sycl/benchmark.cpp:393-426]."""
+    img_path = tmp_path / "in.png"
+    save_image(str(img_path), fundus_crop)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIP_FORCE_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/tpu/benchmark.py", str(img_path),
+         str(tmp_path / "out"), "3", "--backend", "cpu", "--path", "xla"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.count("(3 times)") == 14
+
+
 def test_stats_collection(fundus_crop):
     session = BenchmarkSession(fundus_crop, path="xla")
     runner = BenchmarkRunner(session.operations(), rounds=3, stats=True)
