@@ -130,12 +130,19 @@ def _make_conv(layout: PlanarLayout, int_mask: np.ndarray, shift: int):
     fmask = spec.mask_float(int_mask, shift)
 
     def body(x, out_ref, mask_ref):
+        # column-sums first (row slices only), ONE lane roll per mask
+        # column — same order as oracle_f32.convolution (its docstring).
+        rows = [None] * kh
         acc = None
-        for ky in range(kh):
-            v = x[ky:ky + band, :]
-            for kx in range(kw):
-                t = _shift(v, kx - hx) * mask_ref[ky * kw + kx]
-                acc = t if acc is None else acc + t
+        for kx in range(kw):
+            col = None
+            for ky in range(kh):
+                if rows[ky] is None:
+                    rows[ky] = x[ky:ky + band, :]
+                t = rows[ky] * mask_ref[ky * kw + kx]
+                col = t if col is None else col + t
+            col = _shift(col, kx - hx)
+            acc = col if acc is None else acc + col
         out_ref[0] = acc
 
     return _windowed_call(layout, hy, body,

@@ -70,12 +70,16 @@ def _conv(x, int_mask: np.ndarray, shift: int):
     kh, kw = fmask.shape
     padded = mirror_pad_chw(x, kh // 2, kw // 2)
     h, w = x.shape[1], x.shape[2]
+    # column-sums-then-columns: the shared f32 accumulation order (see
+    # oracle_f32.convolution docstring)
     acc = None
-    for ky in range(kh):
-        for kx in range(kw):
+    for kx in range(kw):
+        col = None
+        for ky in range(kh):
             term = jnp.float32(fmask[ky, kx]) * lax.slice(
                 padded, (0, ky, kx), (x.shape[0], ky + h, kx + w))
-            acc = term if acc is None else acc + term
+            col = term if col is None else col + term
+        acc = col if acc is None else acc + col
     return acc
 
 

@@ -87,16 +87,25 @@ def erosion_separated(x: np.ndarray) -> np.ndarray:
 
 
 def convolution(x: np.ndarray, int_mask: np.ndarray, shift: int) -> np.ndarray:
-    """f32 MAC with the normalized mask (weight = int/2^shift, exact)."""
+    """f32 MAC with the normalized mask (weight = int/2^shift, exact).
+
+    Accumulation order is column-sums-then-columns — the order all three
+    f32 implementations share (this oracle, ops/xla_f32, ops/pallas/f32),
+    chosen because it lets the kernels do ONE lane roll per mask column.
+    f32 reassociation changes results by ulps only (reference backends are
+    not bit-identical to each other either, SURVEY.md §2.1); what this
+    model pins is that OUR three paths agree to float precision."""
     _check(x)
     fmask = spec.mask_float(int_mask, shift)
     kh, kw = fmask.shape
     padded = _mirror_pad(x, kh // 2, kw // 2)
     h, w = x.shape[1:]
     acc = np.zeros_like(x)
-    for ky in range(kh):
-        for kx in range(kw):
-            acc += fmask[ky, kx] * padded[:, ky:ky + h, kx:kx + w]
+    for kx in range(kw):
+        col = np.zeros_like(x)
+        for ky in range(kh):
+            col += fmask[ky, kx] * padded[:, ky:ky + h, kx:kx + w]
+        acc += col
     return acc.astype(np.float32)
 
 
