@@ -132,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     image, filename = args.infile
     if args.shards:
         from .parallel.session import ShardedBenchmarkSession
-        session = ShardedBenchmarkSession(image, n_devices=args.shards)
+        session = ShardedBenchmarkSession(image, n_devices=args.shards,
+                                          path=args.path)
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)

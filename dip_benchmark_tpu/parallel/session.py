@@ -26,15 +26,22 @@ def _sync(x):
 
 
 class ShardedBenchmarkSession:
-    """Op table over a (space=n,) mesh; image rows padded to shard evenly."""
+    """Op table over a (space=n,) mesh; image rows padded to shard evenly.
+
+    path: "xla" lifts plain jnp/lax bodies over the mesh (parallel/ops.py);
+    "pallas" lifts the hand-written P-path kernels themselves, each shard
+    running them on its locally assembled planar buffer with ICI halo
+    exchange (parallel/pallas_ops.py). Both bit-exact vs the oracle."""
 
     def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
-                 mesh: Mesh | None = None):
+                 mesh: Mesh | None = None, path: str = "xla"):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
         self.mesh = mesh or make_mesh(n_space=n_devices
                                       or len(jax.devices()))
         n = self.mesh.shape["space"]
         h, w, c = host_image.shape
+        self.path = path
+        self.width = w
         # Pad rows (high-side mirror: row h+k holds img[h-1-k]) so H divides
         # the shard count; crop on fetch. Keep pad >= 2 so windowed taps up
         # to 2 rows past the valid region read real mirror values (not the
@@ -48,12 +55,24 @@ class ShardedBenchmarkSession:
         if pad:
             extra = img[h - pad:][::-1]
             img = np.concatenate([img, extra], axis=0)
-        self.host_planar = np.ascontiguousarray(
-            np.transpose(img, (2, 0, 1)))  # (C, Hs, W)
+        planar = np.transpose(img, (2, 0, 1))  # (C, Hs, W)
+        if path == "pallas":
+            from .pallas_ops import build_sharded_pallas_ops
+            self._ops, self.layout = build_sharded_pallas_ops(
+                self.mesh, planar.shape[1], w)
+            xs = np.clip(spec.mirror_index(
+                np.arange(self.layout.padded_width) - self.layout.pad_x, w),
+                0, w - 1)
+            planar = planar[:, :, xs]  # bake mirror cols, lane-align
+        elif path == "xla":
+            self._ops = build_sharded_ops(self.mesh)
+            self.layout = None
+        else:
+            raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
+        self.host_planar = np.ascontiguousarray(planar)
         self.sharding = NamedSharding(self.mesh, P(None, "space", None))
         self.planar_dev = _sync(jax.device_put(self.host_planar,
                                                self.sharding))
-        self._ops = build_sharded_ops(self.mesh)
         self._sample = None
 
     # -- memory ops ---------------------------------------------------------
@@ -81,6 +100,9 @@ class ShardedBenchmarkSession:
 
     def _fetch(self) -> np.ndarray:
         arr = np.asarray(self._sample)[:, :self.valid_height]
+        if self.layout is not None:  # pallas path: crop the column padding
+            px = self.layout.pad_x
+            arr = arr[:, :, px:px + self.width]
         return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
 
     def operations(self, include_pipeline: bool = False) -> list[Operation]:

@@ -21,9 +21,9 @@ def image(request, rng=None):
     return r.integers(0, 256, size=(request.param, 40, 3), dtype=np.uint8)
 
 
-@pytest.fixture(scope="module")
-def session(image):
-    return ShardedBenchmarkSession(image, n_devices=8)
+@pytest.fixture(scope="module", params=["xla", "pallas"])
+def session(image, request):
+    return ShardedBenchmarkSession(image, n_devices=8, path=request.param)
 
 
 def test_all_ops_bit_exact(session, image):
@@ -34,7 +34,8 @@ def test_all_ops_bit_exact(session, image):
         op.run()
         got = op.fetch()
         want = oracle.IMAGE_OPS[col](image)
-        np.testing.assert_array_equal(got, want, err_msg=col)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"{col} [{session.path}]")
 
 
 def test_full_runner_with_verification(image, tmp_path):
