@@ -66,3 +66,39 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
             check_vma=False))
 
     return {col: lift(col) for col in local}, layout
+
+
+def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
+                            data_axis: str = "data",
+                            space_axis: str = "space"):
+    """The flagship fused pipeline on a 2-D (data, space) mesh with the
+    Pallas kernel: batch shards over `data_axis`, rows over `space_axis`
+    (ppermute halo), and each shard runs the natively BATCHED pipeline
+    kernel (models.pipeline batch= grid dim) on its local stack.
+
+    Input/output: (B, C, height, Wp) uint8, Wp = layout.padded_width with
+    mirror columns baked (same convention as build_sharded_pallas_ops).
+    Returns (apply_fn, per-shard layout)."""
+    from ..models.pipeline import make_fused_pipeline_pallas
+
+    n_space = mesh.shape[space_axis]
+    n_data = mesh.shape[data_axis]
+    assert height % n_space == 0 and batch % n_data == 0
+    h_loc = height // n_space
+    b_loc = batch // n_data
+    layout = make_layout(h_loc, width)
+    hp = layout.padded_height
+    op = make_fused_pipeline_pallas(layout, batch=b_loc)
+
+    def body(x):  # (b_loc, C, h_loc, Wp)
+        xh = jax.vmap(lambda im: exchange_row_halo(im, layout.pad_y,
+                                                   space_axis))(x)
+        buf = jnp.pad(xh, ((0, 0), (0, 0), (0, hp - xh.shape[2]), (0, 0)))
+        return op(buf)[:, :, :h_loc]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P(data_axis, None, space_axis, None),
+        out_specs=P(data_axis, None, space_axis, None),
+        check_vma=False))
+    return fn, layout

@@ -53,3 +53,29 @@ def test_upload_download_round_trip(image):
     planar = session._download()
     hwc = np.transpose(planar[:, :session.valid_height], (1, 2, 0))
     np.testing.assert_array_equal(hwc, image)
+
+
+def test_sharded_pallas_pipeline_2d_mesh():
+    """Pallas pipeline on the (data, space) mesh: batch over data, rows
+    over space, the natively batched kernel per shard — bit-exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dip_benchmark_tpu import spec
+    from dip_benchmark_tpu.parallel import make_mesh
+    from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_pipeline
+
+    mesh = make_mesh(n_space=4, n_data=2)
+    rng = np.random.default_rng(9)
+    B, h, w = 4, 24, 52
+    batch = rng.integers(0, 256, (B, h, w, 3), np.uint8)
+    fn, layout = sharded_pallas_pipeline(mesh, B, h, w)
+    xs = np.clip(spec.mirror_index(
+        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
+    planar = np.transpose(batch, (0, 3, 1, 2))[:, :, :, xs]
+    xdev = jax.device_put(
+        planar, NamedSharding(mesh, P("data", None, "space", None)))
+    out = np.asarray(jax.block_until_ready(fn(xdev)))
+    for b in range(B):
+        got = np.transpose(
+            out[b][:, :h, layout.pad_x:layout.pad_x + w], (1, 2, 0))
+        np.testing.assert_array_equal(
+            got, oracle.IMAGE_OPS["Fused-Pipeline"](batch[b]))
