@@ -219,6 +219,47 @@ def mask_to_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
                  for my in range(mh) for mx in range(mw) if mask[my, mx])
 
 
+def make_dilation(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
+    """Max-morphology counterpart of make_erosion (the reference defines
+    but never benchmarks dilation, opencv/benchmark.py:80-82); same
+    structure-aware formulations with max in place of min. NOTE: the baked
+    halo is the spec's mirror border, so dilation here uses mirror borders
+    like every op in this framework (documented deviation from OpenCV's
+    erode/dilate default border for the unused helper surface)."""
+    hy = max(abs(dy) for dy, _ in taps)
+    band = layout.band
+    structure = _tap_structure(taps)
+    dys = sorted({dy for dy, _ in taps})
+    dxs = sorted({dx for _, dx in taps})
+
+    def body_rect(x_vmem, out_ref, *_):
+        v = x_vmem[:, :].astype(jnp.int32)
+        h = None
+        for dx in dxs:
+            t = _shift(v, dx)
+            h = t if h is None else jnp.maximum(h, t)
+        acc = None
+        for dy in dys:
+            t = h[dy + hy:dy + hy + band]
+            acc = t if acc is None else jnp.maximum(acc, t)
+        out_ref[0] = acc.astype(jnp.uint8)
+
+    def body_generic(x_vmem, out_ref, *_):
+        by_dy: dict[int, list[int]] = {}
+        for dy, dx in taps:
+            by_dy.setdefault(dy, []).append(dx)
+        acc = None
+        for dy, dxs_ in sorted(by_dy.items()):
+            v = x_vmem[dy + hy:dy + hy + band, :].astype(jnp.int32)
+            for dx in sorted(dxs_):
+                t = _shift(v, dx)
+                acc = t if acc is None else jnp.maximum(acc, t)
+        out_ref[0] = acc.astype(jnp.uint8)
+
+    body = body_rect if structure == "rect" else body_generic
+    return _windowed_call(layout, hy, body)
+
+
 def make_erosion_separated_fused(layout: PlanarLayout):
     """1x3 then 3x1 min, fused through VMEM (two-pass bit-exact: min is
     idempotent/associative and the baked mirror rows reproduce the aux

@@ -75,6 +75,31 @@ def test_pallas_matches_oracle_real_image(col, fundus_crop):
                                   err_msg=col)
 
 
+def test_pallas_dilation_matches_oracle_and_duality(small_image):
+    """P-path dilation (the reference's unused helper surface): matches the
+    NumPy oracle and satisfies dilate(x) == 255 - erode(255 - x)."""
+    from dip_benchmark_tpu import spec
+    from dip_benchmark_tpu.ops.pallas import window
+
+    h, w = small_image.shape[:2]
+    layout = make_layout(h, w)
+    taps = window.mask_to_taps(spec.SQUARE_MASK_3X3)
+    dil = window.make_dilation(layout, taps)
+    ero = window.make_erosion(layout, taps)
+
+    def crop(arr):
+        a = np.asarray(arr)[:, :h, layout.pad_x:layout.pad_x + w]
+        return np.ascontiguousarray(np.transpose(a, (1, 2, 0)))
+
+    planar = jax.device_put(to_planar_padded(small_image, layout))
+    got = crop(dil(planar))
+    np.testing.assert_array_equal(
+        got, oracle.dilation(small_image, spec.SQUARE_MASK_3X3))
+    inv_planar = jax.device_put(
+        to_planar_padded(255 - small_image, layout))
+    np.testing.assert_array_equal(got, 255 - crop(ero(inv_planar)))
+
+
 def _extreme_images():
     """Adversarial values for the packed-16 convolution arithmetic:
     all-255 drives every accumulator field to its exact 65280 = 255*256
