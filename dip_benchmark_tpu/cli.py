@@ -98,7 +98,7 @@ def build_parser() -> ArgumentParser:
                              "(chained-K marginal with forced completion; "
                              "see runtime/exec_timing.py — the repeated "
                              "column is a dispatch-rate number on relay "
-                             "rigs). uint8 models, no --shards")
+                             "rigs). No --shards/--chained")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run")
     return parser
@@ -110,10 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.exec_table and (args.shards or args.chained
-                            or args.dtype != "uint8"):
-        print("--exec is incompatible with --shards/--chained and requires "
-              "--dtype uint8", file=sys.stderr)
+    if args.exec_table and (args.shards or args.chained):
+        print("--exec is incompatible with --shards/--chained",
+              file=sys.stderr)
         return 2
 
     if args.backend == "cpu":

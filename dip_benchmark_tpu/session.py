@@ -217,10 +217,8 @@ class BenchmarkSession:
         reference backends'; this table is the completed-work number).
 
         D2H-bearing: run AFTER the regular measurements (the first D2H flips
-        relay rigs into a degraded dispatch mode). uint8 models only.
+        relay rigs into a degraded dispatch mode).
         """
-        if self.dtype != "uint8":
-            raise ValueError("--exec supports the uint8 data model only")
         from .runtime.exec_timing import execution_time
         if self.path == "pallas":
             from .ops.pallas import POINT_COLS

@@ -157,9 +157,11 @@ def test_execution_table(fundus_crop):
         assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
         assert "Upload" not in cols and "Download" not in cols
         assert all(t >= 0.0 for _, t in rows)
-    with pytest.raises(ValueError, match="uint8"):
-        BenchmarkSession(fundus_crop, path="xla",
-                         dtype="float32").execution_table()
+    # the f32 data model is supported too (both paths)
+    f32_rows = BenchmarkSession(fundus_crop, path="pallas",
+                                dtype="float32").execution_table(
+        k1=2, k2=6, samples=2)
+    assert len(f32_rows) == 12 and all(t >= 0.0 for _, t in f32_rows)
 
 
 def test_tiny_image_rejected():
