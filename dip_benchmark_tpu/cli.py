@@ -114,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
         print("--exec is incompatible with --shards/--chained",
               file=sys.stderr)
         return 2
+    if args.shards and args.dtype != "uint8":
+        print("--shards supports the uint8 data model only",
+              file=sys.stderr)
+        return 2
 
     if args.backend == "cpu":
         # The env var alone is not enough under environments whose

@@ -164,7 +164,10 @@ def _tap_structure(taps: tuple[tuple[int, int], ...]) -> str:
     return "generic"
 
 
-def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
+def _make_morphology(layout: PlanarLayout, taps: tuple[tuple[int, int], ...],
+                     reduce):
+    """Shared structure-aware builder: reduce is jnp.minimum (erosion) or
+    jnp.maximum (dilation)."""
     hy = max(abs(dy) for dy, _ in taps)
     band = layout.band
     structure = _tap_structure(taps)
@@ -176,11 +179,11 @@ def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
         h = None
         for dx in dxs:
             t = _shift(v, dx)
-            h = t if h is None else jnp.minimum(h, t)
+            h = t if h is None else reduce(h, t)
         acc = None
         for dy in dys:
             t = h[dy + hy:dy + hy + band]
-            acc = t if acc is None else jnp.minimum(acc, t)
+            acc = t if acc is None else reduce(acc, t)
         out_ref[0] = acc.astype(jnp.uint8)
 
     def body_plus(x_vmem, out_ref, *_):
@@ -189,11 +192,11 @@ def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
         acc = None
         for dy in dys:  # the dx == 0 column, slices only
             t = v[dy + hy:dy + hy + band]
-            acc = t if acc is None else jnp.minimum(acc, t)
+            acc = t if acc is None else reduce(acc, t)
         for dx in dxs:
             if dx == 0:
                 continue  # (0, 0) already covered by the dy loop
-            acc = jnp.minimum(acc, _shift(mid, dx))
+            acc = reduce(acc, _shift(mid, dx))
         out_ref[0] = acc.astype(jnp.uint8)
 
     def body_generic(x_vmem, out_ref, *_):
@@ -205,12 +208,16 @@ def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
             v = x_vmem[dy + hy:dy + hy + band, :].astype(jnp.int32)
             for dx in sorted(dxs_):
                 t = _shift(v, dx)
-                acc = t if acc is None else jnp.minimum(acc, t)
+                acc = t if acc is None else reduce(acc, t)
         out_ref[0] = acc.astype(jnp.uint8)
 
     body = {"rect": body_rect, "plus": body_plus,
             "generic": body_generic}[structure]
     return _windowed_call(layout, hy, body)
+
+
+def make_erosion(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
+    return _make_morphology(layout, taps, jnp.minimum)
 
 
 def mask_to_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
@@ -221,43 +228,12 @@ def mask_to_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
 
 def make_dilation(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
     """Max-morphology counterpart of make_erosion (the reference defines
-    but never benchmarks dilation, opencv/benchmark.py:80-82); same
-    structure-aware formulations with max in place of min. NOTE: the baked
-    halo is the spec's mirror border, so dilation here uses mirror borders
-    like every op in this framework (documented deviation from OpenCV's
+    but never benchmarks dilation, opencv/benchmark.py:80-82) — the shared
+    structure-aware builder with max in place of min. NOTE: the baked halo
+    is the spec's mirror border, so dilation here uses mirror borders like
+    every op in this framework (documented deviation from OpenCV's
     erode/dilate default border for the unused helper surface)."""
-    hy = max(abs(dy) for dy, _ in taps)
-    band = layout.band
-    structure = _tap_structure(taps)
-    dys = sorted({dy for dy, _ in taps})
-    dxs = sorted({dx for _, dx in taps})
-
-    def body_rect(x_vmem, out_ref, *_):
-        v = x_vmem[:, :].astype(jnp.int32)
-        h = None
-        for dx in dxs:
-            t = _shift(v, dx)
-            h = t if h is None else jnp.maximum(h, t)
-        acc = None
-        for dy in dys:
-            t = h[dy + hy:dy + hy + band]
-            acc = t if acc is None else jnp.maximum(acc, t)
-        out_ref[0] = acc.astype(jnp.uint8)
-
-    def body_generic(x_vmem, out_ref, *_):
-        by_dy: dict[int, list[int]] = {}
-        for dy, dx in taps:
-            by_dy.setdefault(dy, []).append(dx)
-        acc = None
-        for dy, dxs_ in sorted(by_dy.items()):
-            v = x_vmem[dy + hy:dy + hy + band, :].astype(jnp.int32)
-            for dx in sorted(dxs_):
-                t = _shift(v, dx)
-                acc = t if acc is None else jnp.maximum(acc, t)
-        out_ref[0] = acc.astype(jnp.uint8)
-
-    body = body_rect if structure == "rect" else body_generic
-    return _windowed_call(layout, hy, body)
+    return _make_morphology(layout, taps, jnp.maximum)
 
 
 def make_erosion_separated_fused(layout: PlanarLayout):

@@ -25,8 +25,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..utils.image import PlanarLayout, make_layout
+from ..utils.image import PlanarLayout, make_layout, round_up
 from .halo import exchange_row_halo
+
+
+def _shard_layout(h_loc: int, width: int) -> PlanarLayout:
+    """Per-shard layout. The band tracks the shard height (instead of the
+    default 112) so windowed kernels don't compute up to a full band of
+    discarded zero-padding rows per shard; and halo exchange needs at
+    least pad_y + 1 valid rows per shard to build its mirror rows."""
+    layout = make_layout(h_loc, width,
+                         band=min(112, round_up(max(h_loc, 1), 8)))
+    if h_loc < layout.pad_y + 1:
+        raise ValueError(
+            f"shards of {h_loc} rows are too small for halo exchange "
+            f"(need >= {layout.pad_y + 1}); use fewer devices")
+    return layout
 
 
 def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
@@ -37,9 +51,10 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
     from ..ops import pallas as pallas_ops
 
     n = mesh.shape[axis]
-    assert height % n == 0, f"height {height} must divide {n} shards"
+    assert height % n == 0, (
+        f"the {n}-shard axis must divide height {height}")
     h_loc = height // n
-    layout = make_layout(h_loc, width)
+    layout = _shard_layout(h_loc, width)
     local = pallas_ops.build_ops(layout)
     hp = layout.padded_height
     point_cols = set(pallas_ops.POINT_COLS)
@@ -86,7 +101,7 @@ def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
     assert height % n_space == 0 and batch % n_data == 0
     h_loc = height // n_space
     b_loc = batch // n_data
-    layout = make_layout(h_loc, width)
+    layout = _shard_layout(h_loc, width)
     hp = layout.padded_height
     op = make_fused_pipeline_pallas(layout, batch=b_loc)
 

@@ -56,23 +56,30 @@ class ShardedBenchmarkSession:
             extra = img[h - pad:][::-1]
             img = np.concatenate([img, extra], axis=0)
         planar = np.transpose(img, (2, 0, 1))  # (C, Hs, W)
+        if planar.shape[1] // n < 3:
+            raise ValueError(
+                f"{planar.shape[1]} rows over {n} shards leaves "
+                f"{planar.shape[1] // n} rows per shard; halo exchange "
+                f"needs >= 3 — use fewer devices or a taller image")
+        # Upload transfers the UNPADDED image bytes (the benchmark payload,
+        # comparable across paths); the pallas path's lane-padded compute
+        # buffer is built on device from it, untimed (same role as the
+        # single-device session's layout build).
+        self.host_planar = np.ascontiguousarray(planar)
+        self.sharding = NamedSharding(self.mesh, P(None, "space", None))
         if path == "pallas":
+            from ..utils.image import bake_mirror_cols
             from .pallas_ops import build_sharded_pallas_ops
             self._ops, self.layout = build_sharded_pallas_ops(
                 self.mesh, planar.shape[1], w)
-            xs = np.clip(spec.mirror_index(
-                np.arange(self.layout.padded_width) - self.layout.pad_x, w),
-                0, w - 1)
-            planar = planar[:, :, xs]  # bake mirror cols, lane-align
+            dev_buf = bake_mirror_cols(planar, self.layout)
         elif path == "xla":
             self._ops = build_sharded_ops(self.mesh)
             self.layout = None
+            dev_buf = self.host_planar
         else:
             raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
-        self.host_planar = np.ascontiguousarray(planar)
-        self.sharding = NamedSharding(self.mesh, P(None, "space", None))
-        self.planar_dev = _sync(jax.device_put(self.host_planar,
-                                               self.sharding))
+        self.planar_dev = _sync(jax.device_put(dev_buf, self.sharding))
         self._sample = None
 
     # -- memory ops ---------------------------------------------------------
@@ -81,7 +88,14 @@ class ShardedBenchmarkSession:
         return _sync(jax.device_put(self.host_planar, self.sharding))
 
     def _download(self):
-        return np.asarray(self._ops["Copy"](self.planar_dev))
+        out = self._ops["Copy"](self.planar_dev)
+        if self.layout is not None:
+            # crop the lane padding on DEVICE so the timed D2H moves the
+            # image bytes, comparable with the xla path's Download row
+            px = self.layout.pad_x
+            w = self.width
+            out = jax.jit(lambda x: x[:, :, px:px + w])(out)
+        return np.asarray(out)
 
     def _download_prepare(self):
         np.asarray(_sync(jax.device_put(

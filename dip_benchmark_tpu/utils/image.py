@@ -143,6 +143,16 @@ def to_planar_padded(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     return np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]])
 
 
+def bake_mirror_cols(planar: np.ndarray, layout: PlanarLayout) -> np.ndarray:
+    """(C, H, W) -> (C, H, Wp): mirror halo columns baked, lane-aligned.
+    Rows untouched (the sharded path receives row halo over ICI instead)."""
+    w = layout.width
+    assert planar.shape[2] == w
+    xs = np.clip(spec.mirror_index(
+        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
+    return np.ascontiguousarray(planar[:, :, xs])
+
+
 def to_planar_padded_f32(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     """uint8 HWC -> float32 [0,1] (C, Hp, Wp) with mirror halo baked in
     (the CUDA.jl load path normalization, cuda/benchmark.jl:171-172;

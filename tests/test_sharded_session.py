@@ -59,18 +59,17 @@ def test_sharded_pallas_pipeline_2d_mesh():
     """Pallas pipeline on the (data, space) mesh: batch over data, rows
     over space, the natively batched kernel per shard — bit-exact."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from dip_benchmark_tpu import spec
     from dip_benchmark_tpu.parallel import make_mesh
     from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_pipeline
+    from dip_benchmark_tpu.utils.image import bake_mirror_cols
 
     mesh = make_mesh(n_space=4, n_data=2)
     rng = np.random.default_rng(9)
     B, h, w = 4, 24, 52
     batch = rng.integers(0, 256, (B, h, w, 3), np.uint8)
     fn, layout = sharded_pallas_pipeline(mesh, B, h, w)
-    xs = np.clip(spec.mirror_index(
-        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
-    planar = np.transpose(batch, (0, 3, 1, 2))[:, :, :, xs]
+    planar = np.stack([bake_mirror_cols(np.transpose(im, (2, 0, 1)), layout)
+                       for im in batch])
     xdev = jax.device_put(
         planar, NamedSharding(mesh, P("data", None, "space", None)))
     out = np.asarray(jax.block_until_ready(fn(xdev)))
