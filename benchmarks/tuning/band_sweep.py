@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
 """Tuning experiment: dispatch floor + band-size sweep for windowed kernels.
 
+SUPERSEDED: this script times with block_until_ready, which acks enqueue
+on relay rigs (sync_probe.py), so its per-application numbers are
+submission rates. kernel_lab4/5 re-measure with the chained-K marginal +
+forced completion. Kept for the dispatch-floor measurement it pioneered.
+
 Answers two questions on the real TPU rig:
 1. What is the irreducible per-dispatch latency (relay RTT + PJRT execute)?
    Measured with a compiled 1-element no-op — this is the floor every

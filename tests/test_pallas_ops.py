@@ -98,6 +98,11 @@ def test_pallas_dilation_matches_oracle_and_duality(small_image):
     inv_planar = jax.device_put(
         to_planar_padded(255 - small_image, layout))
     np.testing.assert_array_equal(got, 255 - crop(ero(inv_planar)))
+    # plus-shape structuring element takes the specialized path too
+    cross_taps = window.mask_to_taps(spec.CROSS_MASK_3X3)
+    got_x = crop(window.make_dilation(layout, cross_taps)(planar))
+    np.testing.assert_array_equal(
+        got_x, oracle.dilation(small_image, spec.CROSS_MASK_3X3))
 
 
 def _extreme_images():
