@@ -1,23 +1,41 @@
 #!/usr/bin/env python3
 """Driver benchmark: the 14-op matrix on fundus.jpg, Pallas path, real TPU.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose headline is
   {"metric": "dip12_compute_geomean_latency", "value": <geomean us over the
    12 on-device ops>, "unit": "us", "vs_baseline": <geomean speedup vs the
    reference CUDA.jl column from assets/results.csv — >1.0 = faster>}
+plus auditable detail keys:
+  "estimator"           how the headline is computed (pooled median) and
+                        that the baseline column is mean-over-rounds
+  "value_mean"/"vs_baseline_mean"  the same geomeans with the per-op MEAN
+                        over all rounds (the reference's estimator)
+  "ops"                 per-op {p50_us, mean_us, once_ms} incl. Upload and
+                        Download
+  "transport_floor_ms"  measured raw-bytes relay floor for a 24.56 MB
+                        H2D put and D2H read, so the Upload/Download rows
+                        can be judged against the transport itself. Each
+                        floor is probed in the rig state its op is measured
+                        in: h2d BEFORE any D2H (the first D2H flips relay
+                        rigs into a degraded mode), d2h after.
 
-Per-op latency is the MEDIAN over rounds (see the inline comment in main:
-this rig's relay transport adds heavy-tailed jitter that a no-op dispatch
-reproduces, so the mean measures transport weather; both are on stderr).
+Per-op latency headline is the MEDIAN over the POOLED per-round samples of
+two temporally-separated sweeps: this rig's relay transport adds
+heavy-tailed jitter that a compiled no-op dispatch reproduces (p50 ~25 us,
+p99 ~160 us — benchmarks/tuning/latency_probe.py), so tail rounds time the
+HTTP relay, not the framework, and the mean of a few hundred rounds swings
+2-7x between identical runs. The mean is reported alongside; on a quiet
+directly-attached host the two coincide.
 
 The headline covers the 12 on-device ops. Upload/Download are still run,
-verified and reported on stderr, but excluded from the headline: on this
-tunneled rig host<->device transfers go through an HTTP relay (~30 MB/s D2H,
-measured), so those two rows benchmark the tunnel, not the framework.
+verified, reported in "ops", and judged against the measured transport
+floor — on this tunneled rig host<->device transfers ride an HTTP relay,
+so those two rows benchmark the tunnel, not the framework.
 
 Before timing, every op output is verified bit-exactly against the native/
-NumPy oracle (on-hardware miscompiles must fail loudly, not pollute numbers).
-Per-op details go to stderr; the JSON line is the only stdout output.
+NumPy oracle (on-hardware miscompiles must fail loudly, not pollute
+numbers). Per-op details go to stderr; the JSON line is the only stdout
+output.
 """
 
 from __future__ import annotations
@@ -26,6 +44,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -40,6 +59,44 @@ CUDA_BASELINE_S = {
 }
 
 FUNDUS = "/root/reference/assets/fundus.jpg"
+
+
+def _h2d_floor(nbytes: int, reps: int = 4) -> float:
+    """Raw H2D floor (seconds): min over reps of a flat nbytes uint8
+    device_put. Run BEFORE any D2H so it sees the same (non-degraded) rig
+    state the Upload op is measured in — a D2H flips relay rigs into a
+    degraded mode that multiplies later transfer costs (~35x measured)."""
+    import jax
+
+    buf = np.random.default_rng(2).integers(
+        0, 256, size=nbytes, dtype=np.uint8)
+    h2d = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        h2d.append(time.perf_counter() - t0)
+    return min(h2d)
+
+
+def _d2h_floor(nbytes: int, reps: int = 4) -> float:
+    """Raw D2H floor (seconds): min over reps of an np.asarray read of a
+    fresh device buffer (fresh each rep — jax.Array caches its host copy).
+    Run AFTER all op timing, in the same post-first-D2H rig state the
+    Download op is measured in."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.default_rng(2).integers(
+        0, 256, size=nbytes, dtype=np.uint8)
+    fresh = jax.jit(jnp.copy)
+    x = jax.block_until_ready(jax.device_put(buf))
+    d2h = []
+    for _ in range(reps):
+        y = jax.block_until_ready(fresh(x))
+        t0 = time.perf_counter()
+        np.asarray(y)
+        d2h.append(time.perf_counter() - t0)
+    return min(d2h)
 
 
 def main() -> int:
@@ -61,17 +118,24 @@ def main() -> int:
               file=sys.stderr)
 
     session = BenchmarkSession(image, path=path)
-    # Host-transfer ops run at second-scale on the tunneled rig; keep their
-    # sample small so the bench finishes (their mean is stable regardless).
+    # Host-transfer ops run at millisecond-to-second scale on the tunneled
+    # rig; keep their sample small so the bench finishes (their mean is
+    # stable regardless).
     mem_rounds = max(3, rounds // 30)
     table = session.operations()
 
-    # Two temporally-separated sweeps, min of per-op medians (the classic
-    # timeit rule): relay weather shifts sustained latency 1.5-2x on a
-    # minutes scale, so a single sweep records whatever weather it drew.
+    # Two temporally-separated sweeps; the headline pools both sweeps'
+    # per-round samples and takes the MEDIAN (see module docstring): relay
+    # weather shifts sustained latency 1.5-2x on a minutes scale, so a
+    # single sweep records whatever weather it drew, and pooling is the
+    # unbiased way to combine them (VERDICT r1 asked that the previous
+    # min-of-medians not bias the headline upward).
     # Sweep 1 covers only the compute ops — Download's D2H would flip the
     # rig into its degraded dispatch mode and poison sweep 2 (DESIGN §4.1);
     # sweep 2 runs the full table and then verifies every output.
+    # H2D floor first (pre-D2H rig state, same as the Upload op's).
+    h2d_floor = _h2d_floor(image.nbytes)
+
     compute_table = [op for op in table
                      if op.csv_column not in ("Upload", "Download")]
     pre = BenchmarkRunner(compute_table, rounds=rounds, stats=True, warmup=10)
@@ -82,42 +146,64 @@ def main() -> int:
         rounds_override={"Upload": mem_rounds, "Download": mem_rounds},
         stats=True, warmup=10)
     results = runner.run(verify_against=image, quiet=True)
-    for col, dist in pre.op_stats.items():
-        if dist["p50"] < runner.op_stats[col]["p50"]:
-            runner.op_stats[col] = dist
 
-    # Per-op latency: MEDIAN of the per-round samples. The relay transport
-    # on this rig injects heavy-tailed per-dispatch jitter — a compiled
-    # NO-OP dispatch measures p50 ~25 us but p99 ~160 us / max ~400 us
-    # (benchmarks/tuning/latency_probe.py), so tail rounds time the HTTP
-    # relay, not the framework, and the mean of a few hundred rounds swings
-    # 2-7x between runs on identical code. The median is the robust
-    # location estimate; the mean is printed alongside for transparency
-    # (on a quiet directly-attached host the two coincide).
     once_s = {r.csv_column: r.time_once for r in pre.results}
-    lat_us, speedups = {}, {}
+    mean2_s = {r.csv_column: r.time_rounds for r in pre.results}
+    lat_us, mean_us, speedups, ops_json = {}, {}, {}, {}
     for r in results:
-        p50 = runner.op_stats[r.csv_column]["p50"]
-        lat_us[r.csv_column] = p50 * 1e6
-        speedups[r.csv_column] = CUDA_BASELINE_S[r.csv_column] / p50
+        col = r.csv_column
+        pooled = sorted(runner.op_stats[col]["samples"]
+                        + pre.op_stats.get(col, {}).get("samples", []))
+        p50 = pooled[len(pooled) // 2]
+        # Mean over ALL pooled rounds — the reference's estimator
+        # (opencv/benchmark.py:26-38) across both sweeps.
+        mean = float(np.mean(pooled))
+        lat_us[col] = p50 * 1e6
+        mean_us[col] = mean * 1e6
+        speedups[col] = CUDA_BASELINE_S[col] / p50
         # once = sweep 1's first call (includes compile, per the reference
         # contract); sweep 2's is a warm re-dispatch.
-        once = once_s.get(r.csv_column, r.time_once)
-        print(f"  {r.csv_column:28s} {p50 * 1e6:10.1f} us p50   "
-              f"(mean {r.time_rounds * 1e6:10.1f} us, "
-              f"once {once * 1e3:8.1f} ms, "
-              f"{speedups[r.csv_column]:6.2f}x vs CUDA ref)", file=sys.stderr)
+        once = once_s.get(col, r.time_once)
+        ops_json[col] = {"p50_us": round(p50 * 1e6, 2),
+                         "mean_us": round(mean * 1e6, 2),
+                         "once_ms": round(once * 1e3, 3)}
+        extra = (f", sweep means {mean2_s[col] * 1e6:.1f}/"
+                 f"{r.time_rounds * 1e6:.1f} us" if col in mean2_s else "")
+        print(f"  {col:28s} {p50 * 1e6:10.1f} us p50   "
+              f"(mean {mean * 1e6:10.1f} us, once {once * 1e3:8.1f} ms, "
+              f"{speedups[col]:6.2f}x vs CUDA ref{extra})", file=sys.stderr)
+
+    # Raw D2H relay floor for the image's byte count, AFTER all op timing.
+    d2h_floor = _d2h_floor(image.nbytes)
+    print(f"  transport floor ({image.nbytes / 1e6:.1f} MB): "
+          f"H2D {h2d_floor * 1e3:.1f} ms, D2H {d2h_floor * 1e3:.1f} ms; "
+          f"Upload/floor = {lat_us['Upload'] / 1e3 / (h2d_floor * 1e3):.2f}, "
+          f"Download/floor = "
+          f"{lat_us['Download'] / 1e3 / (d2h_floor * 1e3):.2f}",
+          file=sys.stderr)
 
     compute = [c for c in lat_us if c not in ("Upload", "Download")]
-    geo_lat = math.exp(sum(math.log(lat_us[c]) for c in compute)
-                       / len(compute))
-    geo_speedup = math.exp(sum(math.log(speedups[c]) for c in compute)
-                           / len(compute))
+
+    def geo(d):
+        return math.exp(sum(math.log(d[c]) for c in compute) / len(compute))
+
+    geo_lat, geo_mean = geo(lat_us), geo(mean_us)
     print(json.dumps({
         "metric": "dip12_compute_geomean_latency",
         "value": round(geo_lat, 2),
         "unit": "us",
-        "vs_baseline": round(geo_speedup, 3),
+        "vs_baseline": round(geo({c: CUDA_BASELINE_S[c] * 1e6 / lat_us[c]
+                                  for c in compute}), 3),
+        "estimator": ("p50 over pooled per-round samples of two sweeps; "
+                      "baseline column is the reference's mean-over-rounds "
+                      "(async dispatch)"),
+        "value_mean": round(geo_mean, 2),
+        "vs_baseline_mean": round(geo({c: CUDA_BASELINE_S[c] * 1e6
+                                       / mean_us[c] for c in compute}), 3),
+        "rounds": rounds,
+        "transport_floor_ms": {"h2d": round(h2d_floor * 1e3, 2),
+                               "d2h": round(d2h_floor * 1e3, 2)},
+        "ops": ops_json,
     }))
     return 0
 

@@ -89,6 +89,14 @@ def build_parser() -> ArgumentParser:
                              "applications per round and report "
                              "per-application execution time (X-path only; "
                              "amortizes per-dispatch overhead)")
+    parser.add_argument("--warmup", type=int, default=10, metavar="N",
+                        help="Untimed post-compile calls before each op's "
+                             "timed loop — drains the compile-time transport "
+                             "burst that otherwise congests the first ~100ms "
+                             "of rounds on tunneled rigs (capped at 1 for "
+                             "host-transfer ops). Default 10; use 0 for the "
+                             "strict reference protocol (loop starts "
+                             "immediately after the 'once' call)")
     parser.add_argument("--stats", action="store_true",
                         help="Print per-op latency distribution "
                              "(min/p50/p95/max) under each row")
@@ -155,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
     rounds = (args.rounds if args.rounds is not None
               else args.rounds_pos if args.rounds_pos is not None
               else 10000)
-    runner = BenchmarkRunner(table, rounds=rounds, stats=args.stats)
+    runner = BenchmarkRunner(table, rounds=rounds, stats=args.stats,
+                             warmup=args.warmup)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

@@ -113,7 +113,9 @@ class BenchmarkRunner:
                 # Per-application like the row (one chained round runs
                 # op.time_scale applications).
                 self.op_stats[op.csv_column] = {
-                    k: v / op.time_scale for k, v in dist.items()}
+                    k: ([x / op.time_scale for x in v]
+                        if isinstance(v, list) else v / op.time_scale)
+                    for k, v in dist.items()}
             else:
                 time_once, time_rounds = measure_time(op.run, n, warmup=warm)
             by_id[id(op)] = reporting.OpResult(

@@ -81,6 +81,13 @@ class ShardedBenchmarkSession:
             raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
         self.planar_dev = _sync(jax.device_put(dev_buf, self.sharding))
         self._sample = None
+        if self.layout is not None:
+            # Jit the device-side crop ONCE: building it inside _download
+            # would pay a retrace per round inside the timed Download loop.
+            px, vw = self.layout.pad_x, self.width
+            self._crop_dl = jax.jit(lambda x: x[:, :, px:px + vw])
+        else:
+            self._crop_dl = None
 
     # -- memory ops ---------------------------------------------------------
 
@@ -89,12 +96,10 @@ class ShardedBenchmarkSession:
 
     def _download(self):
         out = self._ops["Copy"](self.planar_dev)
-        if self.layout is not None:
+        if self._crop_dl is not None:
             # crop the lane padding on DEVICE so the timed D2H moves the
             # image bytes, comparable with the xla path's Download row
-            px = self.layout.pad_x
-            w = self.width
-            out = jax.jit(lambda x: x[:, :, px:px + w])(out)
+            out = self._crop_dl(out)
         return np.asarray(out)
 
     def _download_prepare(self):

@@ -236,6 +236,22 @@ class BenchmarkSession:
             t = execution_time(fn, src, banded=col in banded_cols,
                                k1=k1, k2=k2, samples=samples)
             rows.append((col, t))
+        if banded_cols:
+            # Passthrough row: the banded chain's per-iteration re-insert
+            # overhead alone (slice to a representative banded output shape
+            # + the tile-aligned dynamic_update_slice), so readers can
+            # subtract the chain-copy cost from banded rows
+            # (runtime/exec_timing.py docstring).
+            from jax import lax
+            ref = next(c for c in cols if c in banded_cols)
+            osd = jax.eval_shape(self._ops_impl[ref], src)
+
+            def passthrough(v, shape=osd.shape, dt=osd.dtype):
+                return lax.slice(
+                    v, (0,) * v.ndim, shape).astype(dt)
+            t = execution_time(passthrough, src, banded=True,
+                               k1=k1, k2=k2, samples=samples)
+            rows.append(("Passthrough", t))
         return rows
 
     def pipeline_operation(self) -> Operation:

@@ -84,6 +84,9 @@ def measure_time_stats(func: Callable[[], Any], rounds: int,
         "p95": deltas[min(len(deltas) - 1, int(0.95 * len(deltas)))]
         if deltas else 0.0,
         "max": deltas[-1] if deltas else 0.0,
+        # Raw sorted per-round seconds, so callers can pool distributions
+        # across sweeps (e.g. bench.py's pooled-median headline estimator).
+        "samples": deltas,
     }
     mean = (stamps[rounds] - stamps[0]) * 1e-9 / n
     return (t1 - t0) * 1e-9, mean, stats

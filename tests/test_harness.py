@@ -154,14 +154,22 @@ def test_execution_table(fundus_crop):
         rows = session.execution_table(include_pipeline=True,
                                        k1=2, k2=6, samples=2)
         cols = [c for c, _ in rows]
-        assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
+        if path == "pallas":
+            # banded Pallas ops get the chain-copy Passthrough row so
+            # readers can subtract the re-insert overhead (exec_timing doc)
+            assert len(cols) == 14 and cols[-1] == "Passthrough"
+            assert cols[-2] == "Fused-Pipeline"
+        else:
+            assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
         assert "Upload" not in cols and "Download" not in cols
         assert all(t >= 0.0 for _, t in rows)
     # the f32 data model is supported too (both paths)
     f32_rows = BenchmarkSession(fundus_crop, path="pallas",
                                 dtype="float32").execution_table(
         k1=2, k2=6, samples=2)
-    assert len(f32_rows) == 12 and all(t >= 0.0 for _, t in f32_rows)
+    f32_cols = [c for c, _ in f32_rows]
+    assert len(f32_rows) == 13 and f32_cols[-1] == "Passthrough"
+    assert all(t >= 0.0 for _, t in f32_rows)
 
 
 def test_tiny_image_rejected():
