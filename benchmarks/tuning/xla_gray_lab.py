@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""X-path grayscale, round 2: phase-select formulation on the flat minor dim.
+
+Round-1 finding (xla_lab.py, ops/xla.py comment): every channel-split
+formulation of grayscale over interleaved uint8 HWC costs ~5.4 ms/image on
+TPU — the strided per-channel access on the C=3 minor axis forces a
+relayout (~2.7 ms alone each way).
+
+Round-2 idea (VERDICT r1 item 5): never split channels. Flatten to
+(H, W*3) — a free reshape of the row-major layout — and compute EVERY
+output byte's luma directly: out[k] must equal luma(pixel k//3) for all k
+(the replicate-to-3-channels contract means the flat output is just the
+luma repeated per byte, so no jnp.repeat either). Each out[k] needs taps
+f[k-2..k+2] selected by k%3:
+
+  phase 0 (k=3i):   R=f[k],   G=f[k+1], B=f[k+2]
+  phase 1 (k=3i+1): R=f[k-1], G=f[k],   B=f[k+1]
+  phase 2 (k=3i+2): R=f[k-2], G=f[k-1], B=f[k]
+
+Five contiguous shifted slices + two nested selects per channel + the same
+f32 MAC as the oracle ((wb*b + wg*g) + wr*r, truncating cast) — all
+elementwise, so XLA fuses it into one VPU pass over the flat array.
+Bit-exact by construction (each pixel evaluates the identical f32
+expression on the identical values as the oracle).
+
+Usage: python benchmarks/tuning/xla_gray_lab.py [--cpu]
+Measures old-vs-new with the chained-K marginal (true execution time).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0])
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dip_benchmark_tpu import oracle, spec  # noqa: E402
+
+
+def grayscale_old(x):
+    r = x[..., 0].astype(jnp.float32)
+    g = x[..., 1].astype(jnp.float32)
+    b = x[..., 2].astype(jnp.float32)
+    wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+    gray = (wb * b + wg * g) + wr * r
+    gray_u8 = gray.astype(jnp.uint8)
+    return jnp.repeat(gray_u8[..., None], 3, axis=2)
+
+
+# The shipped implementation (integer fixed-point MAC per the round-2 spec;
+# an earlier f32 variant of the same structure revealed the FMA-contraction
+# nondeterminism that motivated the integer luma spec — see spec.py).
+from dip_benchmark_tpu.ops.xla import grayscale as grayscale_phase_select  # noqa: E402
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.default_rng(0)
+    for shape in [(37, 53, 3), (128, 256, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = np.asarray(jax.jit(grayscale_phase_select)(img))
+        want = oracle.IMAGE_OPS["Grayscale"](img)
+        np.testing.assert_array_equal(got, want, err_msg=f"{shape}")
+    print("bit-exact vs oracle on CPU-checkable shapes: OK")
+
+    if cpu:
+        return
+
+    from dip_benchmark_tpu.runtime.exec_timing import execution_time
+    from dip_benchmark_tpu.utils.image import load_image
+
+    image = load_image("/root/reference/assets/fundus.jpg")
+    x = jax.device_put(image)
+    # verify on hardware first (axon fusion miscompiles exist)
+    got = np.asarray(jax.jit(grayscale_phase_select)(x))
+    want = oracle.IMAGE_OPS["Grayscale"](image)
+    ok = np.array_equal(got, want)
+    print(f"TPU bit-exact: {ok}")
+    if not ok:
+        diff = got.astype(int) - want.astype(int)
+        print("max|diff|", np.abs(diff).max(), "npx", (diff != 0).sum())
+
+    for name, fn in [("old(channel-split)", grayscale_old),
+                     ("new(phase-select)", grayscale_phase_select)]:
+        t = execution_time(fn, x, k1=5, k2=25, samples=3)
+        print(f"  {name:22s} exec {t * 1e6:9.1f} us/image")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,14 +70,15 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
 
         dma(step % 2, step).wait()
         x_vmem = x_vmem[step % 2][:, row_base:row_base + band + 2 * hy]
-        # Stage 1: grayscale (Rec.709, f32 SYCL order, truncate). All
-        # arithmetic in 32-bit: this Mosaic target legalizes neither 8-bit
-        # arithmetic nor u8->f32 casts (see ops/pallas/window.py docstring).
-        r = x_vmem[0].astype(jnp.int32).astype(jnp.float32)
-        g = x_vmem[1].astype(jnp.int32).astype(jnp.float32)
-        b = x_vmem[2].astype(jnp.int32).astype(jnp.float32)
-        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
-        gray = ((wb * b + wg * g) + wr * r).astype(jnp.int32)  # (band+4, wp)
+        # Stage 1: grayscale — the spec's exact 16-bit fixed point (spec
+        # module docstring): pure i32 MAC + shift, no f32 converts (this
+        # Mosaic target legalizes no 8-bit arithmetic, so i32 widening
+        # happens regardless).
+        r = x_vmem[0].astype(jnp.int32)
+        g = x_vmem[1].astype(jnp.int32)
+        b = x_vmem[2].astype(jnp.int32)
+        lw_r, lw_g, lw_b = spec.GRAYSCALE_WEIGHTS_INT_RGB
+        gray = (lw_r * r + lw_g * g + lw_b * b) >> spec.GRAYSCALE_SHIFT
         # Stage 2: threshold -> binary {0, 255} values.
         t = jnp.where(gray > spec.THRESHOLD_VALUE, spec.THRESHOLD_MAX, 0)
         # Stages 3+4 run packed-16: two output rows per i32 lane, halves

@@ -60,15 +60,16 @@ void dip_threshold(const uint8_t* in, uint8_t* out, int h, int w, int c) {
         out[i] = in[i] > 127 ? 255 : 0;
 }
 
-// Rec.709, float32, SYCL accumulation order ((wb*b + wg*g) + wr*r),
-// truncating cast; input/output RGB HWC. [sycl/benchmark.cpp:71-91]
+// Rec.709 luma in the spec's EXACT 16-bit fixed point
+// (y = (13933*R + 46871*G + 4732*B) >> 16, dip_benchmark_tpu/spec.py):
+// bit-identical on every backend regardless of FMA contraction, unlike the
+// reference's float32 path [sycl/benchmark.cpp:71-91]. RGB HWC in/out.
 void dip_grayscale(const uint8_t* in, uint8_t* out, int h, int w, int c) {
     const long long npx = static_cast<long long>(h) * w;
 #pragma omp parallel for
     for (long long p = 0; p < npx; ++p) {
         const uint8_t* px = in + p * c;
-        float g = 0.0722f * px[2] + 0.7152f * px[1];
-        g = g + 0.2126f * px[0];
+        const int32_t g = (13933 * px[0] + 46871 * px[1] + 4732 * px[2]) >> 16;
         const uint8_t v = static_cast<uint8_t>(g);
         uint8_t* q = out + p * c;
         for (int k = 0; k < c; ++k) q[k] = v;

@@ -104,14 +104,18 @@ def _elementwise(kernel, layout: PlanarLayout, dtype=jnp.uint8,
 
 
 def _grayscale_kernel(in_ref, out_ref):
-    # in_ref/out_ref: (3, BAND, Wp) uint8. Rec.709 in f32, SYCL accumulation
-    # order (wb*b + wg*g) + wr*r, truncating cast [sycl/benchmark.cpp:82-86].
-    # u8 -> f32 is not a supported Mosaic cast; go via i32.
-    r = in_ref[0].astype(jnp.int32).astype(jnp.float32)
-    g = in_ref[1].astype(jnp.int32).astype(jnp.float32)
-    b = in_ref[2].astype(jnp.int32).astype(jnp.float32)
-    wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
-    gray = ((wb * b + wg * g) + wr * r).astype(jnp.int32).astype(jnp.uint8)
+    # in_ref/out_ref: (3, BAND, Wp) uint8. Rec.709 via the spec's EXACT
+    # 16-bit fixed point (spec module docstring) — pure i32 MAC + shift,
+    # no f32 converts (the reference computes f32 luma,
+    # sycl/benchmark.cpp:82-86; the integer spec is bit-stable under FMA
+    # contraction and faster: 8-bit arithmetic isn't legalized on this
+    # Mosaic target, so everything widens to i32 anyway).
+    r = in_ref[0].astype(jnp.int32)
+    g = in_ref[1].astype(jnp.int32)
+    b = in_ref[2].astype(jnp.int32)
+    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+    gray = ((nr * r + ng * g + nb * b)
+            >> spec.GRAYSCALE_SHIFT).astype(jnp.uint8)
     out_ref[0] = gray
     out_ref[1] = gray
     out_ref[2] = gray

@@ -47,19 +47,37 @@ def inversion(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def grayscale(x: jnp.ndarray) -> jnp.ndarray:
-    # Layout-bound on TPU: per-channel access + replicated write on the
-    # C=3 minor (lane) axis costs ~5.4 ms/image however formulated —
-    # tensordot, einsum, and a CHW transpose round-trip all measure the
-    # same (xla_lab.py; the u8 HWC<->CHW relayout alone is ~2.7 ms). This
-    # is the honest price of the reference's interleaved data model on
-    # this hardware; the P-path's planar layout runs the op at ~55 us.
-    r = x[..., 0].astype(jnp.float32)
-    g = x[..., 1].astype(jnp.float32)
-    b = x[..., 2].astype(jnp.float32)
-    wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
-    gray = (wb * b + wg * g) + wr * r
-    gray_u8 = gray.astype(jnp.uint8)  # truncating cast, like static_cast
-    return jnp.repeat(gray_u8[..., None], 3, axis=2)
+    """Phase-select formulation on the flat (H, W*3) minor dim.
+
+    Round-1's channel-split forms (tensordot / einsum / CHW round-trip)
+    all cost ~5.4 ms/image on TPU — strided per-channel access on the C=3
+    minor axis forces a relayout (~2.7 ms each way; xla_lab.py). Round 2:
+    never split channels. Flatten to (H, W*3) — a free view of the
+    row-major layout — and compute every output byte directly (the
+    replicate-to-3 contract makes the flat output the luma repeated per
+    byte). out[k] = luma(pixel k//3) needs taps f[k-2..k+2] selected by
+    k % 3; five contiguous shifted slices + two selects per channel + the
+    exact integer MAC — all elementwise, fused by XLA into one VPU pass
+    (measured ~250 us vs 5.4 ms; benchmarks/tuning/xla_gray_lab.py).
+    """
+    h, w, c = x.shape
+    n = w * c
+    f = x.reshape(h, n)
+    p = jnp.pad(f, ((0, 0), (2, 2)))
+    s = {d: lax.slice(p, (0, 2 + d), (h, 2 + d + n))
+         for d in (-2, -1, 0, 1, 2)}
+    phase = (jnp.arange(n, dtype=jnp.int32) % 3)[None, :]
+
+    def pick(d0, d1, d2):  # tap offset for byte phase 0 / 1 / 2
+        return jnp.where(phase == 0, s[d0],
+                         jnp.where(phase == 1, s[d1], s[d2]))
+
+    r = pick(0, -1, -2).astype(jnp.int32)
+    g = pick(1, 0, -1).astype(jnp.int32)
+    b = pick(2, 1, 0).astype(jnp.int32)
+    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+    y = (nr * r + ng * g + nb * b) >> spec.GRAYSCALE_SHIFT
+    return y.astype(jnp.uint8).reshape(h, w, c)
 
 
 def threshold(x: jnp.ndarray) -> jnp.ndarray:

@@ -33,18 +33,20 @@ def inversion(image: np.ndarray) -> np.ndarray:
 
 
 def grayscale(image: np.ndarray) -> np.ndarray:
-    """Rec.709 luma in f32 (SYCL accumulation order), truncate, replicate.
+    """Rec.709 luma in exact 16-bit fixed point, truncate, replicate.
 
-    [reference: sycl/benchmark.cpp:71-91]
+    The reference computes this in float32 [sycl/benchmark.cpp:71-91]; the
+    framework spec uses the integer-exact formulation instead so every
+    backend is bit-identical regardless of FMA contraction (spec module
+    docstring).
     """
     _check(image)
-    r = image[..., 0].astype(np.float32)
-    g = image[..., 1].astype(np.float32)
-    b = image[..., 2].astype(np.float32)
-    wr, wg, wb = (np.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
-    # SYCL order: (wb*b + wg*g) + wr*r, all in float32.
-    gray = (wb * b + wg * g) + wr * r
-    gray_u8 = gray.astype(np.uint8)  # truncating cast, matches static_cast
+    r = image[..., 0].astype(np.int32)
+    g = image[..., 1].astype(np.int32)
+    b = image[..., 2].astype(np.int32)
+    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+    gray = (nr * r + ng * g + nb * b) >> spec.GRAYSCALE_SHIFT
+    gray_u8 = gray.astype(np.uint8)
     return np.repeat(gray_u8[..., None], 3, axis=2)
 
 

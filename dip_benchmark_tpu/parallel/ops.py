@@ -79,11 +79,12 @@ def _point_bodies():
         return jnp.uint8(255) - x
 
     def grayscale(x):
-        r = x[0].astype(jnp.float32)
-        g = x[1].astype(jnp.float32)
-        b = x[2].astype(jnp.float32)
-        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
-        gray = ((wb * b + wg * g) + wr * r).astype(jnp.uint8)
+        r = x[0].astype(jnp.int32)
+        g = x[1].astype(jnp.int32)
+        b = x[2].astype(jnp.int32)
+        nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+        gray = ((nr * r + ng * g + nb * b)
+                >> spec.GRAYSCALE_SHIFT).astype(jnp.uint8)
         return jnp.broadcast_to(gray, x.shape)
 
     def threshold(x):

@@ -6,11 +6,24 @@ backends (see SURVEY.md §2.1/§2.3):
 
 - dtype/layout: uint8 RGB, HWC at the framework edges (planar CHW inside the
   Pallas path).
-- Grayscale: Rec.709 luma, computed in float32 in the exact accumulation
-  order of the SYCL reference ((0.0722*B + 0.7152*G) + 0.2126*R, i.e. with
-  RGB operands ((0.0722*b + 0.7152*g) + 0.2126*r)), truncating cast to uint8,
-  replicated to all 3 channels.
-  [reference: benchmarks/sycl/benchmark.cpp:71-91, benchmarks/cuda/benchmark.jl:22-30]
+- Grayscale: Rec.709 luma, truncated to uint8, replicated to all 3 channels.
+  Computed in EXACT 16-bit fixed point: y = (13933*R + 46871*G + 4732*B)>>16
+  (weights round(w * 2^16); they sum to exactly 2^16, so flat colors map to
+  themselves). Rationale — the same as the convolution ops' integer
+  formulation below: the reference computes luma in float32
+  ((0.0722*B + 0.7152*G) + 0.2126*R, truncating cast,
+  benchmarks/sycl/benchmark.cpp:71-91, benchmarks/cuda/benchmark.jl:22-30),
+  but 0.2126/0.7152/0.0722 are NOT exact binary fractions, so the float
+  result depends on each compiler's FMA-contraction choices: XLA:CPU's
+  contraction flips ~0.002% of pixels by one level vs a plain-NumPy
+  evaluation of the identical expression (measured,
+  benchmarks/tuning/xla_gray_lab.py), and the GPU reference backends have
+  the same ambiguity among themselves (they already disagree: OpenCV/MATLAB
+  use Rec.601). A portable bit-exact contract therefore requires an
+  integer spec. The fixed-point result differs from the reference's f32
+  path by at most 1 level on boundary pixels (<0.01%); all products and
+  partial sums stay < 2^24, so kernels may use i32 OR f32 arithmetic and
+  remain exact.
 - Threshold: out = 255 if in > 127 else 0, per channel.
   [reference: benchmarks/sycl/benchmark.cpp:94-114]
 - Inversion: out = 255 - in. [reference: benchmarks/sycl/benchmark.cpp:54-68]
@@ -40,7 +53,15 @@ THRESHOLD_VALUE = 127  # out = 255 if px > 127 else 0
 THRESHOLD_MAX = 255
 
 # Rec.709 luma weights in (R, G, B) order. SYCL accumulates B, then G, then R.
+# Used by the float32 data model (the CUDA.jl-parity [0,1] variant), which
+# keeps the reference's float semantics.
 GRAYSCALE_WEIGHTS_RGB = (0.2126, 0.7152, 0.0722)
+
+# The uint8 model's EXACT fixed-point luma (module docstring): numerators
+# round(w * 2^16); sum == 2^16 exactly. y = (nr*R + ng*G + nb*B) >> 16.
+GRAYSCALE_WEIGHTS_INT_RGB = (13933, 46871, 4732)
+GRAYSCALE_SHIFT = 16
+assert sum(GRAYSCALE_WEIGHTS_INT_RGB) == 1 << GRAYSCALE_SHIFT
 
 # ---------------------------------------------------------------------------
 # Structuring elements (erosion)

@@ -68,7 +68,7 @@ EMPHYSEMA_GOLDEN = {
     "Erosion-3x3-Square": "2ccfaf8579f1b2a2",
     "Fused-Pipeline": "0ccaf6bc326931f5",
     "Gaussian-Blur-3x3": "68a113cded79d711",
-    "Grayscale": "803238993bf73874",
+    "Grayscale": "d6d1dda34194b2cc",  # integer fixed-point luma (spec r2)
     "Inversion": "7ca9caf2eb103790",
     "Threshold": "6baea30ead2ac1b0",
 }

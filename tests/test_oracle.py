@@ -29,15 +29,27 @@ def test_threshold_exact():
     assert (oracle.threshold(img) == [[[0, 0, 255]]]).all()
 
 
-def test_grayscale_rec709_truncation():
+def test_grayscale_rec709_fixed_point():
     img = np.array([[[100, 200, 50]]], dtype=np.uint8)
-    # (0.0722*50 + 0.7152*200) + 0.2126*100 computed in float32
-    expected = np.float32(
-        (np.float32(0.0722) * 50 + np.float32(0.7152) * 200)
-        + np.float32(0.2126) * 100)
+    # spec: y = (13933*R + 46871*G + 4732*B) >> 16 (exact fixed point)
+    expected = (13933 * 100 + 46871 * 200 + 4732 * 50) >> 16
     out = oracle.grayscale(img)
     assert out.shape == (1, 1, 3)
-    assert (out == int(expected)).all()  # truncating cast
+    assert (out == expected).all()
+
+
+def test_grayscale_fixed_point_tracks_reference_float():
+    """The integer spec deviates from the reference's f32 luma by at most
+    one level, and flat colors map to themselves (weights sum to 2^16)."""
+    rgb = np.stack(np.meshgrid(*[np.arange(0, 256, 5)] * 3, indexing="ij"),
+                   axis=-1).reshape(1, -1, 3).astype(np.uint8)
+    ours = oracle.grayscale(rgb)[..., 0].astype(np.int32)
+    r, g, b = (rgb[..., i].astype(np.float32) for i in range(3))
+    ref = ((np.float32(0.0722) * b + np.float32(0.7152) * g)
+           + np.float32(0.2126) * r).astype(np.uint8).astype(np.int32)
+    assert np.abs(ours - ref).max() <= 1
+    flat = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(1, 256, 3)
+    assert (oracle.grayscale(flat) == flat).all()
 
 
 def test_grayscale_replicates_channels(small_image):
