@@ -58,7 +58,8 @@ def grayscale(x: jnp.ndarray) -> jnp.ndarray:
     byte). out[k] = luma(pixel k//3) needs taps f[k-2..k+2] selected by
     k % 3; five contiguous shifted slices + two selects per channel + the
     exact integer MAC — all elementwise, fused by XLA into one VPU pass
-    (measured ~250 us vs 5.4 ms; benchmarks/tuning/xla_gray_lab.py).
+    (measured 443 us vs the old 5733 us true execution, 12.9x;
+    benchmarks/tuning/xla_gray_lab.py).
     """
     h, w, c = x.shape
     n = w * c
