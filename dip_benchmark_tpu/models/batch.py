@@ -45,8 +45,9 @@ def _pipeline_batch_pallas(images: np.ndarray) -> np.ndarray:
     stack = np.stack([to_planar_padded(im, layout) for im in images])
     out = np.asarray(jax.block_until_ready(
         _batched_pipeline(layout, b)(jax.device_put(stack))))
-    # windowed-output crop: image row 0 is at array row 0 (ops/pallas crop)
-    valid = out[:, :, :h, layout.pad_x:layout.pad_x + w]
+    # shape-preserving output: image row 0 sits at padded row pad_y
+    py = layout.pad_y
+    valid = out[:, :, py:py + h, layout.pad_x:layout.pad_x + w]
     return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
 
 

@@ -28,7 +28,8 @@ from ..utils.image import PlanarLayout
 
 
 def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
-    """Fused pipeline over the planar padded image; returns (C, H, Wp) u8.
+    """Fused pipeline over the planar padded image; shape-preserving:
+    returns (C, Hp, Wp) u8 in the input's padded coordinates.
 
     batch=0: single image (C, Hp, Wp). batch=B: a (B, C, Hp, Wp) stack
     processed in one dispatch with a leading batch grid dimension — the
@@ -42,7 +43,8 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
     nb = layout.n_bands
     hy = 2  # erosion (1) + blur (1)
     assert layout.pad_y >= hy and layout.pad_x >= hy
-    row_base = layout.pad_y - hy
+    assert hp >= layout.banded_height + 8
+    base = 8 - hy  # shape-preserving window scheme (ops/pallas/window.py)
     nbatch = max(batch, 1)
 
     def kernel(in_hbm, out_ref, x_vmem, sem):
@@ -53,23 +55,49 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
         step = bi * nb + i
         total = nbatch * nb
 
-        def dma(slot, ss):
-            src = in_hbm.at[ss // nb] if batch else in_hbm
+        def src(ss):
+            return in_hbm.at[ss // nb] if batch else in_hbm
+
+        def dma0(slot, ss):
+            # First band of an image: the window cannot reach above padded
+            # row 0; land at VMEM row offset 8, stale rows below corrupt
+            # only output rows < hy (inside the mirror-halo region).
             return pltpu.make_async_copy(
-                src.at[:, pl.ds(pl.multiple_of((ss % nb) * band, 8), blen),
-                       :],
+                src(ss).at[:, pl.ds(0, blen - 8), :],
+                x_vmem.at[slot, :, pl.ds(8, blen - 8)], sem.at[slot])
+
+        def dma(slot, ss):  # band index >= 1
+            return pltpu.make_async_copy(
+                src(ss).at[:, pl.ds(pl.multiple_of((ss % nb) * band - 8, 8),
+                                    blen), :],
                 x_vmem.at[slot], sem.at[slot])
+
+        def start(slot, ss):
+            @pl.when(ss % nb == 0)
+            def _():
+                dma0(slot, ss).start()
+
+            @pl.when(ss % nb > 0)
+            def _():
+                dma(slot, ss).start()
 
         @pl.when(step == 0)
         def _():
-            dma(0, 0).start()
+            start(0, 0)
 
         @pl.when(step + 1 < total)
         def _():
-            dma((step + 1) % 2, step + 1).start()
+            start((step + 1) % 2, step + 1)
 
-        dma(step % 2, step).wait()
-        x_vmem = x_vmem[step % 2][:, row_base:row_base + band + 2 * hy]
+        @pl.when(i == 0)
+        def _():
+            dma0(step % 2, step).wait()
+
+        @pl.when(i > 0)
+        def _():
+            dma(step % 2, step).wait()
+
+        x_vmem = x_vmem[step % 2][:, base:base + band + 2 * hy]
         # Stage 1: grayscale — the spec's exact 16-bit fixed point (spec
         # module docstring): pure i32 MAC + shift, no f32 converts (this
         # Mosaic target legalizes no 8-bit arithmetic, so i32 widening
@@ -106,14 +134,12 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
         out_specs = pl.BlockSpec((1, 3, band, wp),
                                  lambda bi, i: (bi, 0, i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct(
-            (batch, 3, layout.banded_height, wp), jnp.uint8)
+        out_shape = jax.ShapeDtypeStruct((batch, 3, hp, wp), jnp.uint8)
     else:
         grid = (nb,)
         out_specs = pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((3, layout.banded_height, wp),
-                                         jnp.uint8)
+        out_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8)
 
     def write(out_ref, ch, sl, val):
         if batch:

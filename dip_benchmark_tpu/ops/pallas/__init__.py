@@ -44,24 +44,16 @@ def _crop_padded(layout: PlanarLayout):
     return crop
 
 
-def _crop_windowed(layout: PlanarLayout):
-    px, w, h = layout.pad_x, layout.width, layout.height
-
-    def crop(dev) -> np.ndarray:
-        arr = np.asarray(dev)[:, :h, px:px + w]  # (C, H, W)
-        return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
-    return crop
-
-
 POINT_COLS = ("Copy", "Inversion", "Threshold", "Grayscale")
 
 
 def build_crops(layout: PlanarLayout) -> dict:
+    # Every op (point AND windowed) is shape-preserving over the padded
+    # layout since round 2, so a single crop serves the whole matrix.
     padded = _crop_padded(layout)
-    windowed = _crop_windowed(layout)
-    crops = {col: (padded if col in POINT_COLS else windowed)
+    crops = {col: padded
              for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
-    crops["Fused-Pipeline"] = windowed
+    crops["Fused-Pipeline"] = padded
     return crops
 
 
@@ -75,11 +67,10 @@ def _f32_to_u8(arr: np.ndarray) -> np.ndarray:
 
 def build_f32_crops(layout: PlanarLayout) -> dict:
     padded = _crop_padded(layout)
-    windowed = _crop_windowed(layout)
 
-    def wrap(crop):
-        return lambda dev: crop(_f32_to_u8(np.asarray(dev)))
-    crops = {col: (wrap(padded) if col in POINT_COLS else wrap(windowed))
+    def crop(dev) -> np.ndarray:
+        return padded(_f32_to_u8(np.asarray(dev)))
+    crops = {col: crop
              for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
-    crops["Fused-Pipeline"] = wrap(windowed)
+    crops["Fused-Pipeline"] = crop
     return crops

@@ -192,26 +192,39 @@ def _make_pipeline(layout: PlanarLayout):
     blen = band + image_mod.DMA_SLACK
     nb = layout.banded_height // band
     hy = 2
-    row_base = layout.pad_y - hy
+    base = 8 - hy  # shape-preserving window scheme (ops/pallas/window.py)
 
     def kernel(in_hbm, out_ref, x_vmem, sem):
         i = pl.program_id(0)
 
-        def dma(slot, ii):
+        def dma0(slot):
             return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                in_hbm.at[:, pl.ds(0, blen - 8), :],
+                x_vmem.at[slot, :, pl.ds(8, blen - 8)], sem.at[slot])
+
+        def dma(slot, ii):  # ii >= 1
+            return pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band - 8, 8),
+                                   blen), :],
                 x_vmem.at[slot], sem.at[slot])
 
         @pl.when(i == 0)
         def _():
-            dma(0, i).start()
+            dma0(0).start()
 
         @pl.when(i + 1 < nb)
         def _():
             dma((i + 1) % 2, i + 1).start()
 
-        dma(i % 2, i).wait()
-        x = x_vmem[i % 2][:, row_base:row_base + band + 2 * hy]
+        @pl.when(i == 0)
+        def _():
+            dma0(i % 2).wait()
+
+        @pl.when(i > 0)
+        def _():
+            dma(i % 2, i).wait()
+
+        x = x_vmem[i % 2][:, base:base + band + 2 * hy]
         wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
         gray = wr * x[0] + wg * x[1] + wb * x[2]
         t = jnp.where(gray > jnp.float32(0.5), jnp.float32(1.0),
@@ -235,8 +248,7 @@ def _make_pipeline(layout: PlanarLayout):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, layout.banded_height, wp),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
             scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.float32),
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),

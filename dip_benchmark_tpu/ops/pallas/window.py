@@ -47,17 +47,29 @@ from .common import interpret_mode
 
 def _windowed_call(layout: PlanarLayout, hy: int, body,
                    mask_args: tuple[np.ndarray, ...] = (),
-                   band: int | None = None, dtype=jnp.uint8):
+                   band: int | None = None, dtype=jnp.uint8,
+                   raw_window: bool = False):
     """Shared skeleton: double-buffered band DMA, then
-    body(x, out_ref, *mask_refs) where x is the (band + DMA_SLACK, Wp) uint8
-    window holding padded rows [i*band, i*band + band + DMA_SLACK).
+    body(x, out_ref, *mask_refs) where x is a (band + 2*hy, Wp) halo window;
+    bodies slice rows [k, k + band) for tap k in [0, 2*hy].
 
-    Output image row r of band i maps to window row (pad_y - hy) + hy + r;
-    bodies slice rows [row_base + k, row_base + k + band) for tap k in
-    [0, 2*hy], with row_base = pad_y - hy (guide: see module docstring).
-
-    Mosaic constrains HBM DMA slices to 8-row tile boundaries, hence the
-    fixed aligned window. The NEXT band's DMA is issued before waiting on
+    SHAPE-PRESERVING (round 2): output has the SAME padded (Hp, Wp) shape
+    and coordinates as the input — out row j holds the op result for padded
+    row j. Band i computes padded rows [i*band, i*band + band), reading
+    taps from the DMA window of padded rows [i*band - 8, i*band + band + 8)
+    (Mosaic constrains HBM DMA slices to 8-row tiles; band 0's window
+    cannot reach above row 0, so its DMA lands at VMEM offset 8 and the
+    stale rows beneath corrupt only output rows < hy — which lie in the
+    [0, pad_y) mirror-halo region the crop never reads). Because windowed
+    ops map the padded layout to itself:
+      - the exec-timing chain (runtime/exec_timing.py) composes ops
+        directly — no dynamic_update_slice re-insert per iteration;
+      - outputs carry op-consistent mirror halos (an op applied to mirror
+        rows IS the mirror of the op, in[p-j] == in[p+j] within the baked
+        margin), so ops compose with halo validity shrinking by hy per
+        application.
+    Rows [banded_height, Hp) of the output are never written (junk slack,
+    outside every crop). The NEXT band's DMA is issued before waiting on
     the current one, so the HBM read pipeline overlaps compute (Pallas
     already double-buffers the output writes).
     """
@@ -71,9 +83,10 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
     blen = band + image_mod.DMA_SLACK
     nb = layout.banded_height // band
     total = c * nb
-    row_base = layout.pad_y - hy
-    assert layout.pad_y >= hy
+    assert hy <= 8 and layout.pad_y >= hy
+    assert hp >= layout.banded_height + 8  # last band's window tail
     n_mask = len(mask_args)
+    base = 8 - hy  # in-window row of tap -hy for the band's first output row
 
     def kernel(*refs):
         in_hbm = refs[0]
@@ -84,25 +97,56 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         i = pl.program_id(1)
         step = ch * nb + i
 
-        def dma(slot, cc, ii):
+        def dma0(slot, cc):
+            # Band 0: window rows [0, 8) would be padded rows [-8, 0);
+            # land the copy at VMEM offset 8, leave stale rows below.
             return pltpu.make_async_copy(
-                in_hbm.at[cc, pl.ds(pl.multiple_of(ii * band, 8), blen), :],
+                in_hbm.at[cc, pl.ds(0, blen - 8), :],
+                x_vmem.at[slot, pl.ds(8, blen - 8)], sem.at[slot])
+
+        def dma(slot, cc, ii):  # ii >= 1
+            return pltpu.make_async_copy(
+                in_hbm.at[cc, pl.ds(pl.multiple_of(ii * band - 8, 8),
+                                    blen), :],
                 x_vmem.at[slot], sem.at[slot])
+
+        def start(slot, ss):
+            cc, ii = ss // nb, ss % nb
+
+            @pl.when(ii == 0)
+            def _():
+                dma0(slot, cc).start()
+
+            @pl.when(ii > 0)
+            def _():
+                dma(slot, cc, ii).start()
 
         @pl.when(step == 0)
         def _():
-            dma(0, ch, i).start()
+            start(0, 0)
 
         @pl.when(step + 1 < total)
         def _():
-            nxt = step + 1
-            dma((step + 1) % 2, nxt // nb, nxt % nb).start()
+            start((step + 1) % 2, step + 1)
 
-        dma(step % 2, ch, i).wait()
-        # Slice the window down to exactly band + 2*hy rows so bodies index
-        # taps as [k : k + band] for k in [0, 2*hy], like a plain halo band.
-        x = x_vmem[step % 2][row_base:row_base + band + 2 * hy]
-        body(x, out_ref, *mask_refs)
+        @pl.when(i == 0)
+        def _():
+            dma0(step % 2, ch).wait()
+
+        @pl.when(i > 0)
+        def _():
+            dma(step % 2, ch, i).wait()
+
+        if raw_window:
+            # Body gets the full (blen, Wp) window (4-row-packing aligned
+            # at its start, for native-u8 bitcast tricks) and slices taps
+            # itself at [base + k : base + k + band].
+            body(x_vmem[step % 2], out_ref, *mask_refs)
+        else:
+            # Slice the window down to exactly band + 2*hy rows so bodies
+            # index taps as [k : k + band] for k in [0, 2*hy].
+            x = x_vmem[step % 2][base:base + band + 2 * hy]
+            body(x, out_ref, *mask_refs)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_mask
@@ -115,8 +159,7 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, layout.banded_height, wp),
-                                           dtype),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
             scratch_shapes=[pltpu.VMEM((2, blen, wp), dtype),
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),

@@ -68,8 +68,12 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
                 x = exchange_row_halo(x, layout.pad_y, axis)
             buf = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, 0)))
             out = op(buf)
-            # windowed outputs put valid row 0 at row 0 (the kernels' crop
-            # contract); point outputs are elementwise so rows align too.
+            if windowed:
+                # shape-preserving kernels: valid rows sit at [pad_y,
+                # pad_y + h_loc), mirroring the assembled input buffer.
+                return out[:, layout.pad_y:layout.pad_y + h_loc]
+            # point ops are elementwise: rows stay wherever the (halo-less)
+            # input buffer put them, i.e. [0, h_loc).
             return out[:, :h_loc]
 
         # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
@@ -109,7 +113,7 @@ def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
         xh = jax.vmap(lambda im: exchange_row_halo(im, layout.pad_y,
                                                    space_axis))(x)
         buf = jnp.pad(xh, ((0, 0), (0, 0), (0, hp - xh.shape[2]), (0, 0)))
-        return op(buf)[:, :, :h_loc]
+        return op(buf)[:, :, layout.pad_y:layout.pad_y + h_loc]
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -17,12 +17,16 @@ the marginal over two K values:
     t_exec = (T(K2) - T(K1)) / (K2 - K1)
 
 The fixed enqueue + sync round-trip (~30 ms on the relay) cancels in the
-difference. Windowed Pallas ops change shape (banded output), so their
-chain re-inserts the output into the padded buffer with a TILE-ALIGNED
-`dynamic_update_slice` at row 0 (an unaligned row offset would cost an
-extra ~450 us/pass of sublane shuffling and poison the measurement —
-benchmarks/tuning/kernel_lab3.py); the chain copy's own cost is reported
-via the `Passthrough` row so readers can subtract it.
+difference. Since the round-2 shape-preserving kernel scheme
+(ops/pallas/window.py) every op maps the padded layout to itself, so
+chains compose DIRECTLY — no per-iteration copy contaminates the
+marginal. The banded path below remains for any future shape-changing op
+(detected via jax.eval_shape in session.execution_table): such a chain
+re-inserts the output with a TILE-ALIGNED `dynamic_update_slice` at row 0
+(an unaligned row offset would cost ~450 us/pass of sublane shuffling,
+benchmarks/tuning/kernel_lab3.py), and its cost is then reported via a
+`Passthrough` row so readers can subtract it (measured ~8 us on the
+round-1 banded kernels).
 
 Chained values drift from real op outputs (op composition, clipped halos) —
 that is fine: only shapes and op code paths matter for timing, and output

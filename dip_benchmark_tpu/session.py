@@ -220,17 +220,20 @@ class BenchmarkSession:
         relay rigs into a degraded dispatch mode).
         """
         from .runtime.exec_timing import execution_time
-        if self.path == "pallas":
-            from .ops.pallas import POINT_COLS
-            banded_cols = {c for c in self._ops_impl if c not in POINT_COLS}
-        else:
-            banded_cols = set()
         src = self._device_input()
         rows: list[tuple[str, float]] = []
         cols = [c for _, _, c in spec.OPERATION_MATRIX
                 if c not in ("Upload", "Download")]
         if include_pipeline:
             cols.append("Fused-Pipeline")
+        # An op whose output shape differs from its input cannot chain
+        # directly; its chain re-inserts via dynamic_update_slice and gets
+        # the Passthrough correction row. Since the round-2 shape-preserving
+        # kernel scheme every op maps the padded layout to itself, so this
+        # set is normally empty (detected, not assumed).
+        banded_cols = {c for c in cols
+                       if jax.eval_shape(self._ops_impl[c], src).shape
+                       != src.shape}
         for col in cols:
             fn = self._ops_impl[col]
             t = execution_time(fn, src, banded=col in banded_cols,

@@ -98,11 +98,14 @@ class PlanarLayout:
 
     @property
     def n_bands(self) -> int:
-        return -(-self.height // self.band)
+        # Bands cover every padded row up to pad_y + height (windowed ops
+        # are shape-preserving: band i computes padded rows [i*band,
+        # (i+1)*band), including the top mirror-halo rows).
+        return -(-(self.height + self.pad_y) // self.band)
 
     @property
     def banded_height(self) -> int:
-        """Output rows of windowed kernels: height rounded up to the band."""
+        """Rows covered by windowed kernels' grids (>= pad_y + height)."""
         return self.n_bands * self.band
 
     @property

@@ -61,10 +61,7 @@ def test_pallas_f32_matches_oracle_f32(col, fundus_crop):
         oracle_f32.from_uint8_hwc(fundus_crop))
     h, w = fundus_crop.shape[:2]
     px, py = layout.pad_x, layout.pad_y
-    if col in ("Copy", "Inversion", "Threshold", "Grayscale"):
-        got = out[:, py:py + h, px:px + w]
-    else:
-        got = out[:, :h, px:px + w]
+    got = out[:, py:py + h, px:px + w]  # every op is shape-preserving
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-7, err_msg=col)
 
 

@@ -154,13 +154,11 @@ def test_execution_table(fundus_crop):
         rows = session.execution_table(include_pipeline=True,
                                        k1=2, k2=6, samples=2)
         cols = [c for c, _ in rows]
-        if path == "pallas":
-            # banded Pallas ops get the chain-copy Passthrough row so
-            # readers can subtract the re-insert overhead (exec_timing doc)
-            assert len(cols) == 14 and cols[-1] == "Passthrough"
-            assert cols[-2] == "Fused-Pipeline"
-        else:
-            assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
+        # Every op is shape-preserving (round-2 kernel scheme), so chains
+        # compose directly and no Passthrough correction row is needed —
+        # execution_table detects this via eval_shape rather than assuming.
+        assert len(cols) == 13 and cols[-1] == "Fused-Pipeline"
+        assert "Passthrough" not in cols
         assert "Upload" not in cols and "Download" not in cols
         assert all(t >= 0.0 for _, t in rows)
     # the f32 data model is supported too (both paths)
@@ -168,7 +166,7 @@ def test_execution_table(fundus_crop):
                                 dtype="float32").execution_table(
         k1=2, k2=6, samples=2)
     f32_cols = [c for c, _ in f32_rows]
-    assert len(f32_rows) == 13 and f32_cols[-1] == "Passthrough"
+    assert len(f32_rows) == 12 and "Passthrough" not in f32_cols
     assert all(t >= 0.0 for _, t in f32_rows)
 
 

@@ -88,7 +88,8 @@ def test_pallas_dilation_matches_oracle_and_duality(small_image):
     ero = window.make_erosion(layout, taps)
 
     def crop(arr):
-        a = np.asarray(arr)[:, :h, layout.pad_x:layout.pad_x + w]
+        py = layout.pad_y  # shape-preserving output: valid rows at pad_y
+        a = np.asarray(arr)[:, py:py + h, layout.pad_x:layout.pad_x + w]
         return np.ascontiguousarray(np.transpose(a, (1, 2, 0)))
 
     planar = jax.device_put(to_planar_padded(small_image, layout))
