@@ -89,6 +89,13 @@ def build_parser() -> ArgumentParser:
                              "applications per round and report "
                              "per-application execution time (X-path only; "
                              "amortizes per-dispatch overhead)")
+    parser.add_argument("--mem-rounds", type=int, default=None, metavar="N",
+                        help="Round count override for the host-transfer "
+                             "ops (Upload/Download) only — on relay-tunneled "
+                             "rigs those run at ms-to-second scale, so the "
+                             "full 10000-round contract would take hours in "
+                             "transfers alone; each row prints its own N. "
+                             "Default: same as --rounds")
     parser.add_argument("--warmup", type=int, default=10, metavar="N",
                         help="Untimed post-compile calls before each op's "
                              "timed loop — drains the compile-time transport "
@@ -163,8 +170,10 @@ def main(argv: list[str] | None = None) -> int:
     rounds = (args.rounds if args.rounds is not None
               else args.rounds_pos if args.rounds_pos is not None
               else 10000)
+    overrides = ({"Upload": args.mem_rounds, "Download": args.mem_rounds}
+                 if args.mem_rounds is not None else None)
     runner = BenchmarkRunner(table, rounds=rounds, stats=args.stats,
-                             warmup=args.warmup)
+                             warmup=args.warmup, rounds_override=overrides)
 
     def execute():
         runner.run(filename=filename, outdir=args.outdir,

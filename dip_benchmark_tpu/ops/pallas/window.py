@@ -218,14 +218,18 @@ def _make_morphology(layout: PlanarLayout, taps: tuple[tuple[int, int], ...],
     dxs = sorted({dx for _, dx in taps})
 
     def body_rect(x_vmem, out_ref, *_):
+        # Column reduce FIRST (pure row slices), then lane rolls on the
+        # (band, wp) column-reduced value: measured ~20% faster than
+        # rolling the full (band + 2*hy, wp) window before reducing
+        # (kernel_lab6: erosion-square 143-145 -> 112-121 us).
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
-        h = None
-        for dx in dxs:
-            t = _shift(v, dx)
-            h = t if h is None else reduce(h, t)
-        acc = None
+        cm = None
         for dy in dys:
-            t = h[dy + hy:dy + hy + band]
+            t = v[dy + hy:dy + hy + band]
+            cm = t if cm is None else reduce(cm, t)
+        acc = None
+        for dx in dxs:
+            t = _shift(cm, dx)
             acc = t if acc is None else reduce(acc, t)
         out_ref[0] = acc.astype(jnp.uint8)
 
@@ -282,16 +286,19 @@ def make_dilation(layout: PlanarLayout, taps: tuple[tuple[int, int], ...]):
 def make_erosion_separated_fused(layout: PlanarLayout):
     """1x3 then 3x1 min, fused through VMEM (two-pass bit-exact: min is
     idempotent/associative and the baked mirror rows reproduce the aux
-    re-mirroring)."""
+    re-mirroring). Pass order is swapped in-kernel (3x1 column min first,
+    then the 1x3 lane rolls — exact: the passes commute), the same ~20%
+    col-first win as body_rect (kernel_lab6)."""
     hy = 1
     band = layout.band
 
     def body(x_vmem, out_ref, *_):
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2, wp)
-        aux = jnp.minimum(jnp.minimum(_shift(v, -1), v), _shift(v, 1))
+        cm = jnp.minimum(jnp.minimum(v[0:band], v[1:band + 1]),
+                         v[2:band + 2])
         out_ref[0] = jnp.minimum(
-            jnp.minimum(aux[0:band], aux[1:band + 1]),
-            aux[2:band + 2]).astype(jnp.uint8)
+            jnp.minimum(_shift(cm, -1), cm),
+            _shift(cm, 1)).astype(jnp.uint8)
 
     return _windowed_call(layout, hy, body)
 
@@ -315,6 +322,38 @@ def _packable(int_mask: np.ndarray) -> bool:
     return bool((int_mask >= 0).all()) and 255 * int(int_mask.sum()) < (1 << 16)
 
 
+def factor_rank1_int(int_mask: np.ndarray):
+    """(u, v) integer factors with mask == outer(u, v) exactly, or None.
+
+    A rank-1 integer mask lets the dense correlation run as an UNROUNDED
+    row-MAC followed by a col-MAC with one final rounding — bit-identical
+    to the kh*kw-tap dense form (integer arithmetic is associative;
+    round-half-up applied once either way), at kh+kw MACs instead of
+    kh*kw. Both Gaussian masks factor ([1,2,1] and [1,4,6,4,1] profiles).
+    """
+    m = int_mask.astype(np.int64)
+    if (m < 0).any() or m.sum() == 0:
+        return None
+    r = next((row for row in m if row.any()), None)
+    if r is None:
+        return None
+    g = np.gcd.reduce(r[r != 0]) if (r != 0).any() else 1
+    v = r // g
+    u = []
+    for row in m:
+        nz = v != 0
+        if not nz.any():
+            return None
+        q, rem = np.divmod(row[nz], v[nz])
+        if rem.any() or not (q == q[0]).all() or not (row[~nz] == 0).all():
+            return None
+        u.append(int(q[0]))
+    u = np.array(u, dtype=np.int64)
+    if not (np.outer(u, v) == m).all():
+        return None
+    return u.astype(np.int32), v.astype(np.int32)
+
+
 def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                      int_mask: np.ndarray, acc_dtype=None):
     """Dense kh x kw correlation; mask values are a runtime SMEM argument
@@ -329,6 +368,7 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     # i32-only by construction; honoring the caller's wider/narrower choice
     # means taking the plain path).
     packed = acc_dtype is None and _packable(int_mask)
+    uv = factor_rank1_int(int_mask) if packed else None
     if kh * kw <= 9 or (packed and kh * kw <= 25):
         band = layout.band  # packed halves temp heights: full band fits
     else:
@@ -337,6 +377,40 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     mask_flat = int_mask.astype(np.int32).reshape(-1)
     half = 1 << (shift - 1)
     hb = band // 2
+    w_rows = hb + 2 * hy
+    # Clamp only when the mask can actually leave [0, 255] (the oracle
+    # clips; the benchmark's Gaussian masks sum to exactly 1<<shift, so
+    # for them both clamps are statically provable no-ops and elided).
+    lo_clip = bool((int_mask < 0).any())
+    hi_clip = ((255 * int(int_mask.clip(min=0).sum()) + half) >> shift) > 255
+
+    def quantize(vals):
+        if lo_clip or hi_clip:
+            vals = jnp.clip(vals, 0, 255)
+        return vals.astype(jnp.uint8)
+
+    def body_rank1(x_vmem, out_ref, mask_ref):
+        # Rank-1 factoring (factor_rank1_int docstring): unrounded row-MAC
+        # with the v profile, col-MAC with the u profile, ONE final
+        # round-half-up — bit-identical to the dense form, kh+kw MACs.
+        # Factor values stay runtime SMEM scalars (u at [0, kh), v at
+        # [kh, kh+kw)). Field bound: rowsum <= 255*sum(v), colsum <=
+        # 255*sum(mask) < 2^16 — the same packed-16 exactness proof.
+        # Measured: 3x3 141 -> 117 us, 5x5 300 -> 215 us (kernel_lab5).
+        lo = x_vmem[0:w_rows, :].astype(jnp.int32)
+        hi = x_vmem[hb:hb + w_rows, :].astype(jnp.int32)
+        p = lo + (hi << 16)
+        rowsum = None
+        for kx in range(kw):
+            t = _shift(p, kx - hx) * mask_ref[kh + kx]
+            rowsum = t if rowsum is None else rowsum + t
+        acc = None
+        for ky in range(kh):
+            t = rowsum[ky:ky + hb, :] * mask_ref[ky]
+            acc = t if acc is None else acc + t
+        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
+        out_ref[0, hb:band] = quantize(
+            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
 
     def body_packed(x_vmem, out_ref, mask_ref):
         # Column-sums first (row slices, no rolls), then ONE lane roll per
@@ -355,10 +429,9 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                 col = t if col is None else col + t
             col = _shift(col, kx - hx)
             acc = col if acc is None else acc + col
-        out_ref[0, 0:hb] = (((acc & 0xFFFF) + half) >> shift
-                            ).astype(jnp.uint8)
-        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(acc, 16) + half)
-                               >> shift).astype(jnp.uint8)
+        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
+        out_ref[0, hb:band] = quantize(
+            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
 
     def body_i32(x_vmem, out_ref, mask_ref):
         rows = [None] * kh
@@ -372,9 +445,15 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                 col = t if col is None else col + t
             col = _shift(col, kx - hx)
             acc = col if acc is None else acc + col
-        out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
+        out_ref[0] = quantize((acc + half) >> shift)
 
-    body = body_packed if packed else body_i32
+    if uv is not None:
+        body = body_rank1
+        mask_flat = np.concatenate(uv).astype(np.int32)
+    elif packed:
+        body = body_packed
+    else:
+        body = body_i32
     return _windowed_call(layout, hy, body, mask_args=(mask_flat,),
                           band=band)
 
@@ -401,6 +480,15 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
     packed = _packable(row_mask)
     hb = band // 2
     w_rows = hb + 2 * hy
+    # Per-pass clamp, elided when statically a no-op (see make_convolution).
+    lo_clip = bool((row_mask < 0).any())
+    hi_clip = ((255 * int(row_mask.clip(min=0).sum()) + half) >> shift) > 255
+
+    def clamp(vals):  # pass-1 intermediate: exact u8 range held in i32
+        return jnp.clip(vals, 0, 255) if (lo_clip or hi_clip) else vals
+
+    def quantize(vals):
+        return clamp(vals).astype(jnp.uint8)
 
     def body_packed(x_vmem, out_ref, mask_ref):
         lo = x_vmem[0:w_rows, :].astype(jnp.int32)
@@ -412,18 +500,17 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
             t = _shift(v, kx - hy) * w
             aux = t if aux is None else aux + t
         # pass-1 u8 quantization per field, then repack
-        lo_a = ((aux & 0xFFFF) + half) >> shift
-        hi_a = (jax.lax.shift_right_logical(aux, 16) + half) >> shift
+        lo_a = clamp(((aux & 0xFFFF) + half) >> shift)
+        hi_a = clamp((jax.lax.shift_right_logical(aux, 16) + half) >> shift)
         aux = lo_a + (hi_a << 16)
         acc = None
         for ky in range(n):
             w = mask_ref[ky]
             t = aux[ky:ky + hb, :] * w
             acc = t if acc is None else acc + t
-        out_ref[0, 0:hb] = (((acc & 0xFFFF) + half) >> shift
-                            ).astype(jnp.uint8)
-        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(acc, 16) + half)
-                               >> shift).astype(jnp.uint8)
+        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
+        out_ref[0, hb:band] = quantize(
+            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
 
     def body_i32(x_vmem, out_ref, mask_ref):
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
@@ -432,13 +519,13 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
             w = mask_ref[kx]
             t = _shift(v, kx - hy) * w
             aux = t if aux is None else aux + t
-        aux = (aux + half) >> shift  # exact pass-1 u8 values
+        aux = clamp((aux + half) >> shift)  # exact pass-1 u8 values
         acc = None
         for ky in range(n):
             w = mask_ref[ky]
             t = aux[ky:ky + band, :] * w
             acc = t if acc is None else acc + t
-        out_ref[0] = ((acc + half) >> shift).astype(jnp.uint8)
+        out_ref[0] = quantize((acc + half) >> shift)
 
     body = body_packed if packed else body_i32
     return _windowed_call(layout, hy, body, mask_args=(mask_flat,))

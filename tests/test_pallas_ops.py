@@ -128,3 +128,47 @@ def test_pallas_matches_oracle_extreme_values(col):
         np.testing.assert_array_equal(
             run_pallas(col, image), oracle.IMAGE_OPS[col](image),
             err_msg=f"{col} extreme image #{i}")
+
+
+def test_pallas_convolution_non_rank1_fallback(small_image):
+    """The standard Gaussian masks all factor rank-1 (fast path); a
+    non-factorable runtime mask must still be served, by the packed dense
+    body — and a negative-weight mask by the plain i32 body."""
+    from dip_benchmark_tpu.ops.pallas import window
+    from dip_benchmark_tpu.utils.image import make_layout, to_planar_padded
+
+    h, w = small_image.shape[:2]
+    layout = make_layout(h, w)
+    planar = jax.device_put(to_planar_padded(small_image, layout))
+    py, px = layout.pad_y, layout.pad_x
+
+    def crop(arr):
+        a = np.asarray(arr)[:, py:py + h, px:px + w]
+        return np.ascontiguousarray(np.transpose(a, (1, 2, 0)))
+
+    rank2 = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 2]], np.int32)  # not uv
+    assert window.factor_rank1_int(rank2) is None
+    got = crop(window.make_convolution(layout, 3, 3, 4, rank2)(planar))
+    np.testing.assert_array_equal(got, oracle.convolution(small_image,
+                                                          rank2, 4))
+
+    neg = np.array([[0, -1, 0], [-1, 8, -1], [0, -1, 0]], np.int32)
+    assert not window._packable(neg)
+    got = crop(window.make_convolution(layout, 3, 3, 2, neg)(planar))
+    np.testing.assert_array_equal(got, oracle.convolution(small_image,
+                                                          neg, 2))
+
+
+def test_factor_rank1_int():
+    from dip_benchmark_tpu import spec
+    from dip_benchmark_tpu.ops.pallas.window import factor_rank1_int
+    u, v = factor_rank1_int(spec.BLUR_3X3_INT)
+    assert (np.outer(u, v) == spec.BLUR_3X3_INT).all()
+    u, v = factor_rank1_int(spec.BLUR_5X5_INT)
+    assert (np.outer(u, v) == spec.BLUR_5X5_INT).all()
+    assert factor_rank1_int(np.array([[1, 2], [3, 5]])) is None
+    assert factor_rank1_int(np.zeros((3, 3), np.int32)) is None
+    # rank-1 with a zero row and a zero column still factors
+    m = np.outer([0, 1, 2], [3, 0, 1])
+    u, v = factor_rank1_int(m)
+    assert (np.outer(u, v) == m).all()
