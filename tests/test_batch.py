@@ -45,9 +45,10 @@ def test_batched_pallas_pipeline_matches_oracle(rng):
     stack = np.stack([to_planar_padded(im, layout) for im in imgs])
     out = np.asarray(make_fused_pipeline_pallas(layout, batch=3)(
         jax.device_put(stack)))
+    py = layout.pad_y  # shape-preserving output: valid rows at pad_y
     for b in range(3):
         got = np.transpose(
-            out[b][:, :24, layout.pad_x:layout.pad_x + 40], (1, 2, 0))
+            out[b][:, py:py + 24, layout.pad_x:layout.pad_x + 40], (1, 2, 0))
         np.testing.assert_array_equal(
             got, oracle.IMAGE_OPS["Fused-Pipeline"](imgs[b]))
 
