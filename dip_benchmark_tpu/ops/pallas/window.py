@@ -369,7 +369,13 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     # means taking the plain path).
     packed = acc_dtype is None and _packable(int_mask)
     uv = factor_rank1_int(int_mask) if packed else None
-    if kh * kw <= 9 or (packed and kh * kw <= 25):
+    if packed and kh * kw == 25:
+        # Measured band sweep (kernel_lab10): the 5x5 bodies keep enough
+        # live temps that a 336-row band amortizes better (198 -> 179 us);
+        # 3x3-class bodies are flat in band, erosion slightly prefers 112.
+        band = next((b for b in (336, 224, 168) if b % 8 == 0
+                     and layout.banded_height % b == 0), layout.band)
+    elif kh * kw <= 9 or (packed and kh * kw <= 25):
         band = layout.band  # packed halves temp heights: full band fits
     else:
         band = _divisor_band(layout, 2 if packed else 4)
@@ -383,11 +389,31 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     # for them both clamps are statically provable no-ops and elided).
     lo_clip = bool((int_mask < 0).any())
     hi_clip = ((255 * int(int_mask.clip(min=0).sum()) + half) >> shift) > 255
+    # SWAR rounding (kernel_lab8, conv3x3 128 -> 123 us measured): round
+    # BOTH 16-bit fields in place with one add/shift/mask instead of
+    # per-field extract+round. Exact when no clamp is needed AND the
+    # rounding add cannot carry across the field boundary.
+    swar_round = (not (lo_clip or hi_clip)
+                  and 255 * int(int_mask.sum()) + half < (1 << 16))
+    half2 = half * 0x00010001
+    rmask2 = (0xFFFF >> shift) * 0x00010001
 
     def quantize(vals):
         if lo_clip or hi_clip:
             vals = jnp.clip(vals, 0, 255)
         return vals.astype(jnp.uint8)
+
+    def store_packed(acc, out_ref):
+        """Round + narrow both packed fields to the two output halves."""
+        if swar_round:
+            t = jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+            out_ref[0, 0:hb] = t.astype(jnp.uint8)  # truncates to lo field
+            out_ref[0, hb:band] = jax.lax.shift_right_logical(
+                t, 16).astype(jnp.uint8)
+        else:
+            out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
+            out_ref[0, hb:band] = quantize(
+                (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
 
     def body_rank1(x_vmem, out_ref, mask_ref):
         # Rank-1 factoring (factor_rank1_int docstring): unrounded row-MAC
@@ -408,9 +434,7 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
         for ky in range(kh):
             t = rowsum[ky:ky + hb, :] * mask_ref[ky]
             acc = t if acc is None else acc + t
-        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
-        out_ref[0, hb:band] = quantize(
-            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        store_packed(acc, out_ref)
 
     def body_packed(x_vmem, out_ref, mask_ref):
         # Column-sums first (row slices, no rolls), then ONE lane roll per
@@ -429,9 +453,7 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
                 col = t if col is None else col + t
             col = _shift(col, kx - hx)
             acc = col if acc is None else acc + col
-        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
-        out_ref[0, hb:band] = quantize(
-            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        store_packed(acc, out_ref)
 
     def body_i32(x_vmem, out_ref, mask_ref):
         rows = [None] * kh
@@ -483,6 +505,12 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
     # Per-pass clamp, elided when statically a no-op (see make_convolution).
     lo_clip = bool((row_mask < 0).any())
     hi_clip = ((255 * int(row_mask.clip(min=0).sum()) + half) >> shift) > 255
+    # SWAR in-place rounding for both passes (same proof obligations as
+    # make_convolution's store_packed; both benchmark row masks qualify).
+    swar_round = (not (lo_clip or hi_clip)
+                  and 255 * int(row_mask.sum()) + half < (1 << 16))
+    half2 = half * 0x00010001
+    rmask2 = (0xFFFF >> shift) * 0x00010001
 
     def clamp(vals):  # pass-1 intermediate: exact u8 range held in i32
         return jnp.clip(vals, 0, 255) if (lo_clip or hi_clip) else vals
@@ -499,18 +527,28 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
             w = mask_ref[kx]
             t = _shift(v, kx - hy) * w
             aux = t if aux is None else aux + t
-        # pass-1 u8 quantization per field, then repack
-        lo_a = clamp(((aux & 0xFFFF) + half) >> shift)
-        hi_a = clamp((jax.lax.shift_right_logical(aux, 16) + half) >> shift)
-        aux = lo_a + (hi_a << 16)
+        # pass-1 u8 quantization per field (packing preserved)
+        if swar_round:
+            aux = jax.lax.shift_right_logical(aux + half2, shift) & rmask2
+        else:
+            lo_a = clamp(((aux & 0xFFFF) + half) >> shift)
+            hi_a = clamp((jax.lax.shift_right_logical(aux, 16) + half)
+                         >> shift)
+            aux = lo_a + (hi_a << 16)
         acc = None
         for ky in range(n):
             w = mask_ref[ky]
             t = aux[ky:ky + hb, :] * w
             acc = t if acc is None else acc + t
-        out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
-        out_ref[0, hb:band] = quantize(
-            (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        if swar_round:
+            t = jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+            out_ref[0, 0:hb] = t.astype(jnp.uint8)
+            out_ref[0, hb:band] = jax.lax.shift_right_logical(
+                t, 16).astype(jnp.uint8)
+        else:
+            out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
+            out_ref[0, hb:band] = quantize(
+                (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
 
     def body_i32(x_vmem, out_ref, mask_ref):
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)
@@ -554,8 +592,10 @@ def make_gaussian_blur_3x3(layout: PlanarLayout):
         # uint8 source and fail with 'Rotate with non-32-bit data'.
         aux = v[0:hb] + (v[1:hb + 1] << 1) + v[2:hb + 2]  # fields <= 1020
         o = _shift(aux, -1) + (aux << 1) + _shift(aux, 1)  # fields <= 4088
-        out_ref[0, 0:hb] = (((o & 0xFFFF) + 8) >> 4).astype(jnp.uint8)
-        out_ref[0, hb:band] = ((jax.lax.shift_right_logical(o, 16) + 8)
-                               >> 4).astype(jnp.uint8)
+        # SWAR round-half-up of both fields at once (4088 + 8 < 2^16).
+        t = jax.lax.shift_right_logical(o + 0x00080008, 4) & 0x0FFF0FFF
+        out_ref[0, 0:hb] = t.astype(jnp.uint8)
+        out_ref[0, hb:band] = jax.lax.shift_right_logical(
+            t, 16).astype(jnp.uint8)
 
     return _windowed_call(layout, hy, body)
