@@ -123,8 +123,11 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
         # <= 4*1020 + 8 < 2^16, so packed MACs are exact.
         aux = v[0:hb] + (v[1:hb + 1] << 1) + v[2:hb + 2]
         o = _shift(aux, -1) + (aux << 1) + _shift(aux, 1)
-        lo = (((o & 0xFFFF) + 8) >> 4).astype(jnp.uint8)
-        hi = ((jax.lax.shift_right_logical(o, 16) + 8) >> 4).astype(jnp.uint8)
+        # SWAR round-half-up of both fields at once (4088 + 8 < 2^16),
+        # same as make_gaussian_blur_3x3 (DESIGN.md §2c).
+        t2 = jax.lax.shift_right_logical(o + 0x00080008, 4) & 0x0FFF0FFF
+        lo = t2.astype(jnp.uint8)
+        hi = jax.lax.shift_right_logical(t2, 16).astype(jnp.uint8)
         for ch in range(3):
             write(out_ref, ch, slice(0, hb), lo)
             write(out_ref, ch, slice(hb, band), hi)
