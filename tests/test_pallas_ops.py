@@ -159,6 +159,32 @@ def test_pallas_convolution_non_rank1_fallback(small_image):
                                                           neg, 2))
 
 
+def test_pallas_convolution_swar_round_carry_guard(small_image):
+    """SWAR in-place rounding is only legal when field + half < 2^16
+    (DESIGN.md §2c). A packable mask with 255*sum + half >= 2^16 must take
+    the per-field fallback and still match the oracle exactly — this pins
+    the static carry guard in make_convolution."""
+    from dip_benchmark_tpu.ops.pallas import window
+    from dip_benchmark_tpu.utils.image import make_layout, to_planar_padded
+
+    h, w = small_image.shape[:2]
+    layout = make_layout(h, w)
+    planar = jax.device_put(to_planar_padded(small_image, layout))
+    py, px = layout.pad_y, layout.pad_x
+
+    # sum = 256 (packable: 255*256 = 65280 < 2^16), shift = 16 -> half =
+    # 32768; 65280 + 32768 >= 2^16 would carry across the field boundary.
+    rank1 = np.outer([1, 14, 1], [1, 14, 1]).astype(np.int32)   # sum 256
+    dense = np.array([[4, 8, 4], [8, 208, 8], [4, 8, 4]], np.int32)
+    for m in (rank1, dense):  # exercises body_rank1 and body_packed
+        assert m.sum() == 256 and window._packable(m)
+        assert 255 * int(m.sum()) + (1 << 15) >= (1 << 16)
+        got = np.asarray(window.make_convolution(layout, 3, 3, 16, m)(planar))
+        got = np.transpose(got[:, py:py + h, px:px + w], (1, 2, 0))
+        np.testing.assert_array_equal(got, oracle.convolution(small_image,
+                                                              m, 16))
+
+
 def test_factor_rank1_int():
     from dip_benchmark_tpu import spec
     from dip_benchmark_tpu.ops.pallas.window import factor_rank1_int
