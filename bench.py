@@ -162,10 +162,15 @@ def main() -> int:
         mean_us[col] = mean * 1e6
         speedups[col] = CUDA_BASELINE_S[col] / p50
         # once = sweep 1's first call (includes compile, per the reference
-        # contract); sweep 2's is a warm re-dispatch.
+        # contract); sweep 2's is a warm re-dispatch. min_us: the op's own
+        # fastest round — for Upload/Download, comparing it against the
+        # raw transport floor checks tunnel-boundedness WITHIN one weather
+        # window (D2H weather alone swings 1-2.7 s across minutes, so a
+        # floor probed later can misstate the ratio).
         once = once_s.get(col, r.time_once)
         ops_json[col] = {"p50_us": round(p50 * 1e6, 2),
                          "mean_us": round(mean * 1e6, 2),
+                         "min_us": round(pooled[0] * 1e6, 2),
                          "once_ms": round(once * 1e3, 3)}
         extra = (f", sweep means {mean2_s[col] * 1e6:.1f}/"
                  f"{r.time_rounds * 1e6:.1f} us" if col in mean2_s else "")
