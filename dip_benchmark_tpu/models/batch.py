@@ -37,8 +37,8 @@ def _batched_pipeline(layout, b: int):
 def _pipeline_batch_pallas(images: np.ndarray) -> np.ndarray:
     """Fused-Pipeline over a (B, H, W, C) stack via the natively batched
     Pallas kernel (leading batch grid dim, ~79 us/image on a v5e vs the
-    millisecond-scale vmapped X-path — the HWC layout's grayscale alone
-    costs ~5.4 ms there, see ops/xla.py)."""
+    ~1.3 ms vmapped X-path pipeline — XLA cannot fuse across the HWC
+    layout's channel axis, see ops/xla.py)."""
     from ..utils.image import make_layout, to_planar_padded
     b, h, w, _ = images.shape
     layout = make_layout(h, w)
