@@ -56,6 +56,51 @@ def grayscale_old(x):
 # nondeterminism that motivated the integer luma spec — see spec.py).
 from dip_benchmark_tpu.ops.xla import grayscale as grayscale_phase_select  # noqa: E402
 
+from jax import lax  # noqa: E402
+
+
+def grayscale_coef_rows(x):
+    """Select-free variant: one precomputed periodic i32 coefficient row per
+    tap offset d — C_d[k] = w(k%3 + d) when 0 <= k%3 + d <= 2 else 0 — so
+    the op is a pure 5-tap MAC (5 muls + 4 adds, no where)."""
+    h, w, c = x.shape
+    n = w * c
+    f = x.reshape(h, n)
+    p = jnp.pad(f, ((0, 0), (2, 2)))
+    wrgb = np.asarray(spec.GRAYSCALE_WEIGHTS_INT_RGB, dtype=np.int64)
+    ks = np.arange(n) % 3
+    acc = None
+    for d in (-2, -1, 0, 1, 2):
+        ch = ks + d
+        cd = np.where((ch >= 0) & (ch <= 2), wrgb[np.clip(ch, 0, 2)],
+                      0).astype(np.int32)
+        s = lax.slice(p, (0, 2 + d), (h, 2 + d + n)).astype(jnp.int32)
+        t = s * jnp.asarray(cd)[None, :]
+        acc = t if acc is None else acc + t
+    y = acc >> spec.GRAYSCALE_SHIFT
+    return y.astype(jnp.uint8).reshape(h, w, c)
+
+
+def grayscale_luma_shift(x):
+    """Compute the luma MAC ONCE (valid at phase-0 bytes), then pick
+    l[k - k%3] via two selects over shifted copies: 3 muls + 2 adds + 2
+    wheres instead of the shipped 3 muls + 6 wheres."""
+    h, w, c = x.shape
+    n = w * c
+    f = x.reshape(h, n)
+    p = jnp.pad(f, ((0, 0), (0, 2)))
+    s0 = lax.slice(p, (0, 0), (h, n)).astype(jnp.int32)
+    s1 = lax.slice(p, (0, 1), (h, 1 + n)).astype(jnp.int32)
+    s2 = lax.slice(p, (0, 2), (h, 2 + n)).astype(jnp.int32)
+    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+    luma = (nr * s0 + ng * s1 + nb * s2) >> spec.GRAYSCALE_SHIFT
+    lp = jnp.pad(luma, ((0, 0), (2, 0)))
+    l1 = lax.slice(lp, (0, 1), (h, 1 + n))
+    l2 = lax.slice(lp, (0, 0), (h, n))
+    phase = (jnp.arange(n, dtype=jnp.int32) % 3)[None, :]
+    y = jnp.where(phase == 0, luma, jnp.where(phase == 1, l1, l2))
+    return y.astype(jnp.uint8).reshape(h, w, c)
+
 
 def main():
     cpu = "--cpu" in sys.argv
@@ -65,9 +110,12 @@ def main():
     rng = np.random.default_rng(0)
     for shape in [(37, 53, 3), (128, 256, 3)]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
-        got = np.asarray(jax.jit(grayscale_phase_select)(img))
         want = oracle.IMAGE_OPS["Grayscale"](img)
-        np.testing.assert_array_equal(got, want, err_msg=f"{shape}")
+        for fn in (grayscale_phase_select, grayscale_coef_rows,
+                   grayscale_luma_shift):
+            got = np.asarray(jax.jit(fn)(img))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"{fn.__name__} {shape}")
     print("bit-exact vs oracle on CPU-checkable shapes: OK")
 
     if cpu:
@@ -87,8 +135,13 @@ def main():
         diff = got.astype(int) - want.astype(int)
         print("max|diff|", np.abs(diff).max(), "npx", (diff != 0).sum())
 
-    for name, fn in [("old(channel-split)", grayscale_old),
-                     ("new(phase-select)", grayscale_phase_select)]:
+    for name, fn in [("new(phase-select)", grayscale_phase_select),
+                     ("coef-rows", grayscale_coef_rows),
+                     ("luma-shift", grayscale_luma_shift)]:
+        got = np.asarray(jax.jit(fn)(x))
+        if not np.array_equal(got, want):
+            print(f"  {name:22s} NOT bit-exact on TPU — skipped")
+            continue
         t = execution_time(fn, x, k1=5, k2=25, samples=3)
         print(f"  {name:22s} exec {t * 1e6:9.1f} us/image")
 
