@@ -51,12 +51,37 @@ def grayscale_old(x):
     return jnp.repeat(gray_u8[..., None], 3, axis=2)
 
 
-# The shipped implementation (integer fixed-point MAC per the round-2 spec;
-# an earlier f32 variant of the same structure revealed the FMA-contraction
-# nondeterminism that motivated the integer luma spec — see spec.py).
-from dip_benchmark_tpu.ops.xla import grayscale as grayscale_phase_select  # noqa: E402
-
 from jax import lax  # noqa: E402
+
+
+def grayscale_phase_select(x):
+    """The first round-2 form (shipped until coef-rows beat it 393 -> 308):
+    5 shifted slices + 6 wheres + the exact integer MAC."""
+    h, w, c = x.shape
+    n = w * c
+    f = x.reshape(h, n)
+    p = jnp.pad(f, ((0, 0), (2, 2)))
+    s = {d: lax.slice(p, (0, 2 + d), (h, 2 + d + n))
+         for d in (-2, -1, 0, 1, 2)}
+    phase = (jnp.arange(n, dtype=jnp.int32) % 3)[None, :]
+
+    def pick(d0, d1, d2):  # tap offset for byte phase 0 / 1 / 2
+        return jnp.where(phase == 0, s[d0],
+                         jnp.where(phase == 1, s[d1], s[d2]))
+
+    r = pick(0, -1, -2).astype(jnp.int32)
+    g = pick(1, 0, -1).astype(jnp.int32)
+    b = pick(2, 1, 0).astype(jnp.int32)
+    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
+    y = (nr * r + ng * g + nb * b) >> spec.GRAYSCALE_SHIFT
+    return y.astype(jnp.uint8).reshape(h, w, c)
+
+
+# The shipped implementation is now the coef-rows winner below (integer
+# fixed-point MAC per the round-2 spec; an earlier f32 variant of the same
+# structure revealed the FMA-contraction nondeterminism that motivated the
+# integer luma spec — see spec.py).
+from dip_benchmark_tpu.ops.xla import grayscale as grayscale_shipped  # noqa: E402
 
 
 def grayscale_coef_rows(x):
@@ -111,8 +136,8 @@ def main():
     for shape in [(37, 53, 3), (128, 256, 3)]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         want = oracle.IMAGE_OPS["Grayscale"](img)
-        for fn in (grayscale_phase_select, grayscale_coef_rows,
-                   grayscale_luma_shift):
+        for fn in (grayscale_shipped, grayscale_phase_select,
+                   grayscale_coef_rows, grayscale_luma_shift):
             got = np.asarray(jax.jit(fn)(img))
             np.testing.assert_array_equal(
                 got, want, err_msg=f"{fn.__name__} {shape}")
@@ -135,7 +160,8 @@ def main():
         diff = got.astype(int) - want.astype(int)
         print("max|diff|", np.abs(diff).max(), "npx", (diff != 0).sum())
 
-    for name, fn in [("new(phase-select)", grayscale_phase_select),
+    for name, fn in [("shipped", grayscale_shipped),
+                     ("phase-select", grayscale_phase_select),
                      ("coef-rows", grayscale_coef_rows),
                      ("luma-shift", grayscale_luma_shift)]:
         got = np.asarray(jax.jit(fn)(x))

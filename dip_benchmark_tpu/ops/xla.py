@@ -47,7 +47,7 @@ def inversion(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def grayscale(x: jnp.ndarray) -> jnp.ndarray:
-    """Phase-select formulation on the flat (H, W*3) minor dim.
+    """Coefficient-row formulation on the flat (H, W*3) minor dim.
 
     Round-1's channel-split forms (tensordot / einsum / CHW round-trip)
     all cost ~5.4 ms/image on TPU — strided per-channel access on the C=3
@@ -55,29 +55,32 @@ def grayscale(x: jnp.ndarray) -> jnp.ndarray:
     never split channels. Flatten to (H, W*3) — a free view of the
     row-major layout — and compute every output byte directly (the
     replicate-to-3 contract makes the flat output the luma repeated per
-    byte). out[k] = luma(pixel k//3) needs taps f[k-2..k+2] selected by
-    k % 3; five contiguous shifted slices + two selects per channel + the
-    exact integer MAC — all elementwise, fused by XLA into one VPU pass
-    (measured 443 us vs the old 5733 us true execution, 12.9x;
-    benchmarks/tuning/xla_gray_lab.py).
+    byte). out[k] = luma(pixel k//3) = sum over tap offsets d in [-2, 2]
+    of C_d[k] * f[k+d], where C_d[k] = w((k%3)+d) when 0 <= (k%3)+d <= 2
+    and 0 otherwise — one PRECOMPUTED periodic i32 coefficient row per
+    offset, so the op is a select-free 5-tap MAC that XLA fuses into one
+    VPU pass. Measured ~375 us/image true execution vs ~407 for the
+    phase-select (6 wheres) form and ~5700 for channel-split, repeatable
+    at the tight K=50/250 chained protocol; absolute numbers swing
+    1.5-2x with relay weather (benchmarks/tuning/xla_gray_lab.py).
+    Exact: each pixel accumulates the identical integer products as the
+    oracle.
     """
     h, w, c = x.shape
     n = w * c
     f = x.reshape(h, n)
     p = jnp.pad(f, ((0, 0), (2, 2)))
-    s = {d: lax.slice(p, (0, 2 + d), (h, 2 + d + n))
-         for d in (-2, -1, 0, 1, 2)}
-    phase = (jnp.arange(n, dtype=jnp.int32) % 3)[None, :]
-
-    def pick(d0, d1, d2):  # tap offset for byte phase 0 / 1 / 2
-        return jnp.where(phase == 0, s[d0],
-                         jnp.where(phase == 1, s[d1], s[d2]))
-
-    r = pick(0, -1, -2).astype(jnp.int32)
-    g = pick(1, 0, -1).astype(jnp.int32)
-    b = pick(2, 1, 0).astype(jnp.int32)
-    nr, ng, nb = spec.GRAYSCALE_WEIGHTS_INT_RGB
-    y = (nr * r + ng * g + nb * b) >> spec.GRAYSCALE_SHIFT
+    wrgb = np.asarray(spec.GRAYSCALE_WEIGHTS_INT_RGB, dtype=np.int64)
+    ks = np.arange(n) % 3
+    acc = None
+    for d in (-2, -1, 0, 1, 2):
+        ch = ks + d
+        cd = np.where((ch >= 0) & (ch <= 2), wrgb[np.clip(ch, 0, 2)],
+                      0).astype(np.int32)
+        s = lax.slice(p, (0, 2 + d), (h, 2 + d + n)).astype(jnp.int32)
+        t = s * jnp.asarray(cd)[None, :]
+        acc = t if acc is None else acc + t
+    y = acc >> spec.GRAYSCALE_SHIFT
     return y.astype(jnp.uint8).reshape(h, w, c)
 
 
