@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import numpy as np
@@ -34,18 +35,40 @@ def _batched_pipeline(layout, b: int):
     return make_fused_pipeline_pallas(layout, batch=b)
 
 
-def _pipeline_batch_pallas(images: np.ndarray) -> np.ndarray:
-    """Fused-Pipeline over a (B, H, W, C) stack via the natively batched
-    Pallas kernel (leading batch grid dim, ~79 us/image on a v5e vs the
-    ~1.3 ms vmapped X-path pipeline — XLA cannot fuse across the HWC
-    layout's channel axis, see ops/xla.py)."""
-    from ..utils.image import make_layout, to_planar_padded
-    b, h, w, _ = images.shape
-    layout = make_layout(h, w)
-    stack = np.stack([to_planar_padded(im, layout) for im in images])
-    out = np.asarray(jax.block_until_ready(
-        _batched_pipeline(layout, b)(jax.device_put(stack))))
+def _dispatch_batch(images: np.ndarray, csv_column: str,
+                    mesh: jax.sharding.Mesh | None):
+    """Enqueue one batch asynchronously; returns an opaque token for
+    _fetch_batch. JAX dispatch is async, so the caller can overlap host
+    work (fetch/encode of the previous batch, decode of the next) with
+    this batch's device execution."""
+    if csv_column == "Fused-Pipeline" and mesh is None:
+        # Natively batched Pallas kernel (leading batch grid dim, ~79
+        # us/image on a v5e vs the ~1.3 ms vmapped X-path pipeline — XLA
+        # cannot fuse across the HWC layout's channel axis, see ops/xla.py).
+        from ..utils.image import make_layout, to_planar_padded
+        b, h, w, _ = images.shape
+        layout = make_layout(h, w)
+        stack = np.stack([to_planar_padded(im, layout) for im in images])
+        out = _batched_pipeline(layout, b)(jax.device_put(stack))
+        return ("pallas", layout, (h, w), out)
+    op = batch_op(csv_column)
+    x = images
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        x = jax.device_put(x, sharding)
+    return ("xla", None, None, op(x))
+
+
+def _fetch_batch(token) -> np.ndarray:
+    """Force completion of a _dispatch_batch token and return the uint8
+    (B, H, W, C) result."""
+    kind, layout, hw, out = token
+    out = np.asarray(jax.block_until_ready(out))
+    if kind == "xla":
+        return out
     # shape-preserving output: image row 0 sits at padded row pad_y
+    h, w = hw
     py = layout.pad_y
     valid = out[:, :, py:py + h, layout.pad_x:layout.pad_x + w]
     return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
@@ -56,22 +79,19 @@ def process_batch(images: np.ndarray, csv_column: str = "Fused-Pipeline",
     """Run one op over a uint8 (B, H, W, C) stack; optionally shard the
     batch dim over mesh axis 'data'. Single-device Fused-Pipeline takes
     the batched Pallas kernel; everything else is the vmapped X-path."""
-    if csv_column == "Fused-Pipeline" and mesh is None:
-        return _pipeline_batch_pallas(images)
-    op = batch_op(csv_column)
-    x = images
-    if mesh is not None:
-        sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec("data"))
-        x = jax.device_put(x, sharding)
-    return np.asarray(jax.block_until_ready(op(x)))
+    return _fetch_batch(_dispatch_batch(images, csv_column, mesh))
 
 
 def process_directory(indir: str, outdir: str,
                       csv_column: str = "Fused-Pipeline",
                       batch_size: int = 8) -> list[str]:
     """Process every image in `indir`, grouping same-shaped images into
-    batched dispatches. Returns the written paths."""
+    batched dispatches. Returns the written paths.
+
+    Serving-style overlap: each chunk is DISPATCHED asynchronously, and
+    the previous chunk is fetched + encoded while the current one executes
+    on-device — host JPEG/PNG work and device compute pipeline instead of
+    strictly alternating (one chunk of latency hidden per chunk)."""
     os.makedirs(outdir, exist_ok=True)
     by_shape: dict[tuple, list[tuple[str, np.ndarray]]] = {}
     for name in sorted(os.listdir(indir)):
@@ -82,15 +102,25 @@ def process_directory(indir: str, outdir: str,
         by_shape.setdefault(img.shape, []).append((name, img))
 
     written = []
+    pending: tuple[list, tuple] | None = None  # (chunk names, token)
+
+    def drain(p):
+        chunk, token = p
+        for (name, _), result in zip(chunk, _fetch_batch(token)):
+            dst = os.path.join(outdir, name)
+            save_image(dst, result)
+            written.append(dst)
+
     for _, items in by_shape.items():
         for i in range(0, len(items), batch_size):
             chunk = items[i:i + batch_size]
             stack = np.stack([img for _, img in chunk])
-            out = process_batch(stack, csv_column)
-            for (name, _), result in zip(chunk, out):
-                dst = os.path.join(outdir, name)
-                save_image(dst, result)
-                written.append(dst)
+            token = _dispatch_batch(stack, csv_column, mesh=None)
+            if pending is not None:
+                drain(pending)
+            pending = (chunk, token)
+    if pending is not None:
+        drain(pending)
     return written
 
 
@@ -108,7 +138,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("outdir")
     p.add_argument("--op", choices=cols, default="Fused-Pipeline")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--backend", choices=["tpu", "cpu", "any"], default="any",
+                   help="Device backend gate (cpu forces the host platform "
+                        "even under a sitecustomize-registered accelerator)")
     args = p.parse_args(argv)
+
+    if args.backend == "cpu":
+        # Same escape as cli.py: the env var alone is ignored when a
+        # sitecustomize pre-registers an accelerator plugin (e.g. axon).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from ..runtime.device import DeviceGateError, require_device
+    try:
+        require_device(args.backend)
+    except DeviceGateError as e:
+        print(str(e), file=sys.stderr)
+        return 4
     written = process_directory(args.indir, args.outdir, args.op,
                                 args.batch_size)
     print(f"Processed {len(written)} images -> {args.outdir}")

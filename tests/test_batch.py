@@ -22,9 +22,9 @@ def test_process_batch_pipeline_routes_to_pallas(rng, monkeypatch):
     """process_batch('Fused-Pipeline') takes the batched Pallas kernel
     (asserted via dispatch spy) and still matches the per-image oracle."""
     calls = []
-    real = batch._pipeline_batch_pallas
-    monkeypatch.setattr(batch, "_pipeline_batch_pallas",
-                        lambda imgs: (calls.append(len(imgs)), real(imgs))[1])
+    real = batch._batched_pipeline
+    monkeypatch.setattr(batch, "_batched_pipeline",
+                        lambda layout, b: (calls.append(b), real(layout, b))[1])
     imgs = rng.integers(0, 256, size=(3, 24, 40, 3), dtype=np.uint8)
     out = batch.process_batch(imgs, "Fused-Pipeline")
     assert calls == [3], "Fused-Pipeline did not route to the Pallas path"
@@ -81,3 +81,35 @@ def test_process_directory_mixed_shapes(rng, tmp_path):
     for name, img in imgs.items():
         got = load_image(str(outdir / name))
         np.testing.assert_array_equal(got, oracle.threshold(img))
+
+
+def test_process_directory_overlaps_dispatch_and_fetch(rng, tmp_path,
+                                                      monkeypatch):
+    """The serving overlap: chunk N+1 must be DISPATCHED before chunk N is
+    fetched (so device compute overlaps host encode of the previous
+    chunk). Spy on the dispatch/fetch sequence with 3 same-shape chunks."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    for i in range(3):
+        save_image(str(indir / f"img{i}.png"),
+                   rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8))
+
+    events = []
+    real_dispatch, real_fetch = batch._dispatch_batch, batch._fetch_batch
+
+    def spy_dispatch(images, col, mesh):
+        events.append(("dispatch", len(images)))
+        return real_dispatch(images, col, mesh)
+
+    def spy_fetch(token):
+        events.append(("fetch",))
+        return real_fetch(token)
+
+    monkeypatch.setattr(batch, "_dispatch_batch", spy_dispatch)
+    monkeypatch.setattr(batch, "_fetch_batch", spy_fetch)
+    written = batch.process_directory(str(indir), str(outdir), "Inversion",
+                                      batch_size=1)
+    assert len(written) == 3
+    assert events == [("dispatch", 1), ("dispatch", 1), ("fetch",),
+                      ("dispatch", 1), ("fetch",), ("fetch",)]
