@@ -18,7 +18,7 @@ from argparse import ArgumentParser, ArgumentTypeError
 import numpy as np
 
 from .harness import BenchmarkRunner
-from .runtime import DeviceGateError, describe_device, require_device
+from .runtime import DeviceGateError, describe_device, gate_backend
 from .session import BenchmarkSession
 from .utils.image import is_image_file, load_image
 
@@ -97,7 +97,13 @@ def build_parser() -> ArgumentParser:
                              "transfers alone; each row prints its own N. "
                              "Default: same as --rounds")
     parser.add_argument("--warmup", type=int, default=10, metavar="N",
-                        help="Untimed post-compile calls before each op's "
+                        help="DEVIATION from the reference timing protocol "
+                             "(which starts the timed loop right after the "
+                             "'once' call): N untimed post-compile calls "
+                             "drain the compile transport burst on relay "
+                             "rigs. Pass --warmup 0 for the strict "
+                             "reference protocol. "
+                             "Untimed post-compile calls before each op's "
                              "timed loop — drains the compile-time transport "
                              "burst that otherwise congests the first ~100ms "
                              "of rounds on tunneled rigs (capped at 1 for "
@@ -134,14 +140,8 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
 
-    if args.backend == "cpu":
-        # The env var alone is not enough under environments whose
-        # sitecustomize pre-registers an accelerator plugin (e.g. axon).
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
     try:
-        device = require_device(args.backend)
+        device = gate_backend(args.backend)
     except DeviceGateError as e:
         print(str(e), file=sys.stderr)
         return 4  # same role as the SYCL no-GPU exit code

@@ -143,14 +143,9 @@ def main(argv: list[str] | None = None) -> int:
                         "even under a sitecustomize-registered accelerator)")
     args = p.parse_args(argv)
 
-    if args.backend == "cpu":
-        # Same escape as cli.py: the env var alone is ignored when a
-        # sitecustomize pre-registers an accelerator plugin (e.g. axon).
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    from ..runtime.device import DeviceGateError, require_device
+    from ..runtime.device import DeviceGateError, gate_backend
     try:
-        require_device(args.backend)
+        gate_backend(args.backend)
     except DeviceGateError as e:
         print(str(e), file=sys.stderr)
         return 4

@@ -69,7 +69,12 @@ def build_f32_crops(layout: PlanarLayout) -> dict:
     padded = _crop_padded(layout)
 
     def crop(dev) -> np.ndarray:
-        return padded(_f32_to_u8(np.asarray(dev)))
+        # Crop FIRST, then quantize: rows outside the valid region are
+        # never written by the shape-preserving kernels (band-0 stale VMEM
+        # below hy, junk slack above banded_height) and may hold non-finite
+        # f32 garbage — converting them would raise invalid-cast warnings
+        # and waste work on pixels the crop discards anyway.
+        return _f32_to_u8(padded(np.asarray(dev)))
     crops = {col: crop
              for col in spec.CSV_COLUMNS if col not in ("Upload", "Download")}
     crops["Fused-Pipeline"] = crop

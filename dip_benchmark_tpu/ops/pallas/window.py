@@ -322,6 +322,47 @@ def _packable(int_mask: np.ndarray) -> bool:
     return bool((int_mask >= 0).all()) and 255 * int(int_mask.sum()) < (1 << 16)
 
 
+def _packed_quantizer(int_mask: np.ndarray, shift: int):
+    """(requant, store): the shared round-half-up + narrow logic for every
+    packed-16 RUNTIME-mask body, so the cross-field-carry proof lives once.
+
+    requant(acc) rounds both 16-bit fields of the i32 accumulator in place
+    and returns the still-packed u8-valued fields; store(acc, out_ref, hb,
+    band) requants and writes the two output halves. The SWAR fast path
+    (one add/shift/mask for both fields, kernel_lab8) is exact when no
+    clamp is needed AND the rounding add cannot carry across the field
+    boundary: 255 * sum(mask) + half < 2^16. Masks that can leave [0, 255]
+    (negative or large-sum) take the per-field extract+clamp path instead.
+    The compile-time-specialized blur/pipeline kernels keep constant-folded
+    copies of the SWAR sequence by design (op #14 measures specialization).
+    """
+    half = 1 << (shift - 1)
+    lo_clip = bool((int_mask < 0).any())
+    hi_clip = ((255 * int(int_mask.clip(min=0).sum()) + half) >> shift) > 255
+    swar = (not (lo_clip or hi_clip)
+            and 255 * int(int_mask.sum()) + half < (1 << 16))
+    half2 = half * 0x00010001
+    rmask2 = (0xFFFF >> shift) * 0x00010001
+
+    def clamp(vals):
+        return jnp.clip(vals, 0, 255) if (lo_clip or hi_clip) else vals
+
+    def requant(acc):
+        if swar:
+            return jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+        lo = clamp(((acc & 0xFFFF) + half) >> shift)
+        hi = clamp((jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        return lo + (hi << 16)
+
+    def store(acc, out_ref, hb, band):
+        t = requant(acc)
+        out_ref[0, 0:hb] = t.astype(jnp.uint8)  # low byte = lo field (<=255)
+        out_ref[0, hb:band] = jax.lax.shift_right_logical(
+            t, 16).astype(jnp.uint8)
+
+    return requant, store, clamp
+
+
 def factor_rank1_int(int_mask: np.ndarray):
     """(u, v) integer factors with mask == outer(u, v) exactly, or None.
 
@@ -371,8 +412,12 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     uv = factor_rank1_int(int_mask) if packed else None
     if packed and kh * kw == 25:
         # Measured band sweep (kernel_lab10): the 5x5 bodies keep enough
-        # live temps that a 336-row band amortizes better (198 -> 179 us);
-        # 3x3-class bodies are flat in band, erosion slightly prefers 112.
+        # live temps that a LARGER band amortizes better (198 -> ~176 us).
+        # On the default 112-band layout banded_height=3584 divides by 224
+        # but not 336, so the effective 5x5 band is 224; whole layouts
+        # built at band=336 measure the same (lab10: 177-178 us) — the win
+        # is "bigger than 112", not the specific 336. 3x3-class bodies are
+        # flat in band, erosion slightly prefers 112.
         band = next((b for b in (336, 224, 168) if b % 8 == 0
                      and layout.banded_height % b == 0), layout.band)
     elif kh * kw <= 9 or (packed and kh * kw <= 25):
@@ -384,36 +429,19 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     half = 1 << (shift - 1)
     hb = band // 2
     w_rows = hb + 2 * hy
-    # Clamp only when the mask can actually leave [0, 255] (the oracle
-    # clips; the benchmark's Gaussian masks sum to exactly 1<<shift, so
-    # for them both clamps are statically provable no-ops and elided).
-    lo_clip = bool((int_mask < 0).any())
-    hi_clip = ((255 * int(int_mask.clip(min=0).sum()) + half) >> shift) > 255
-    # SWAR rounding (kernel_lab8, conv3x3 128 -> 123 us measured): round
-    # BOTH 16-bit fields in place with one add/shift/mask instead of
-    # per-field extract+round. Exact when no clamp is needed AND the
-    # rounding add cannot carry across the field boundary.
-    swar_round = (not (lo_clip or hi_clip)
-                  and 255 * int(int_mask.sum()) + half < (1 << 16))
-    half2 = half * 0x00010001
-    rmask2 = (0xFFFF >> shift) * 0x00010001
+    # Shared round/clamp/narrow logic (one carry proof): _packed_quantizer.
+    # Clamps only fire when the mask can actually leave [0, 255] (the
+    # benchmark's Gaussian masks sum to exactly 1<<shift, so for them both
+    # clamps are statically provable no-ops and the SWAR path is taken —
+    # kernel_lab8, conv3x3 128 -> 123 us measured).
+    _, _pq_store, _pq_clamp = _packed_quantizer(int_mask, shift)
 
     def quantize(vals):
-        if lo_clip or hi_clip:
-            vals = jnp.clip(vals, 0, 255)
-        return vals.astype(jnp.uint8)
+        return _pq_clamp(vals).astype(jnp.uint8)
 
     def store_packed(acc, out_ref):
         """Round + narrow both packed fields to the two output halves."""
-        if swar_round:
-            t = jax.lax.shift_right_logical(acc + half2, shift) & rmask2
-            out_ref[0, 0:hb] = t.astype(jnp.uint8)  # truncates to lo field
-            out_ref[0, hb:band] = jax.lax.shift_right_logical(
-                t, 16).astype(jnp.uint8)
-        else:
-            out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
-            out_ref[0, hb:band] = quantize(
-                (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        _pq_store(acc, out_ref, hb, band)
 
     def body_rank1(x_vmem, out_ref, mask_ref):
         # Rank-1 factoring (factor_rank1_int docstring): unrounded row-MAC
@@ -502,18 +530,12 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
     packed = _packable(row_mask)
     hb = band // 2
     w_rows = hb + 2 * hy
-    # Per-pass clamp, elided when statically a no-op (see make_convolution).
-    lo_clip = bool((row_mask < 0).any())
-    hi_clip = ((255 * int(row_mask.clip(min=0).sum()) + half) >> shift) > 255
-    # SWAR in-place rounding for both passes (same proof obligations as
-    # make_convolution's store_packed; both benchmark row masks qualify).
-    swar_round = (not (lo_clip or hi_clip)
-                  and 255 * int(row_mask.sum()) + half < (1 << 16))
-    half2 = half * 0x00010001
-    rmask2 = (0xFFFF >> shift) * 0x00010001
+    # Shared per-pass round/clamp logic (one carry proof, SWAR fast path
+    # when both benchmark row masks qualify): _packed_quantizer.
+    _pq_requant, _pq_store, _pq_clamp = _packed_quantizer(row_mask, shift)
 
     def clamp(vals):  # pass-1 intermediate: exact u8 range held in i32
-        return jnp.clip(vals, 0, 255) if (lo_clip or hi_clip) else vals
+        return _pq_clamp(vals)
 
     def quantize(vals):
         return clamp(vals).astype(jnp.uint8)
@@ -528,27 +550,13 @@ def make_convolution_separated_fused(layout: PlanarLayout, n: int,
             t = _shift(v, kx - hy) * w
             aux = t if aux is None else aux + t
         # pass-1 u8 quantization per field (packing preserved)
-        if swar_round:
-            aux = jax.lax.shift_right_logical(aux + half2, shift) & rmask2
-        else:
-            lo_a = clamp(((aux & 0xFFFF) + half) >> shift)
-            hi_a = clamp((jax.lax.shift_right_logical(aux, 16) + half)
-                         >> shift)
-            aux = lo_a + (hi_a << 16)
+        aux = _pq_requant(aux)
         acc = None
         for ky in range(n):
             w = mask_ref[ky]
             t = aux[ky:ky + hb, :] * w
             acc = t if acc is None else acc + t
-        if swar_round:
-            t = jax.lax.shift_right_logical(acc + half2, shift) & rmask2
-            out_ref[0, 0:hb] = t.astype(jnp.uint8)
-            out_ref[0, hb:band] = jax.lax.shift_right_logical(
-                t, 16).astype(jnp.uint8)
-        else:
-            out_ref[0, 0:hb] = quantize(((acc & 0xFFFF) + half) >> shift)
-            out_ref[0, hb:band] = quantize(
-                (jax.lax.shift_right_logical(acc, 16) + half) >> shift)
+        _pq_store(acc, out_ref, hb, band)
 
     def body_i32(x_vmem, out_ref, mask_ref):
         v = x_vmem[:, :].astype(jnp.int32)  # (band + 2*hy, wp)

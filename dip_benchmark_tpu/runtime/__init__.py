@@ -3,5 +3,6 @@ from .device import (  # noqa: F401
     backend_name,
     default_device,
     describe_device,
+    gate_backend,
     require_device,
 )

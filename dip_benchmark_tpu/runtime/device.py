@@ -43,6 +43,17 @@ def require_device(backend: str = "tpu") -> jax.Device:
     return devices[0]
 
 
+def gate_backend(backend: str) -> jax.Device:
+    """The shared CLI entry gate: force the host platform when asked (the
+    JAX_PLATFORMS env var alone is ignored under environments whose
+    sitecustomize pre-registers an accelerator plugin, e.g. axon), then
+    fail fast via require_device. Raises DeviceGateError — callers print
+    it and exit 4 (the SYCL reference's no-GPU exit code)."""
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    return require_device(backend)
+
+
 def describe_device(device: jax.Device) -> str:
     """Device banner, mirroring e.g. sycl/benchmark.cpp:441-442."""
     kind = getattr(device, "device_kind", "unknown")
