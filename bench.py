@@ -18,6 +18,12 @@ plus auditable detail keys:
                         floor is probed in the rig state its op is measured
                         in: h2d BEFORE any D2H (the first D2H flips relay
                         rigs into a degraded mode), d2h after.
+  "exec_geomean_us" / per-op "exec_us"  TRUE device execution time per
+                        application (chained-K marginal with forced
+                        completion, K=100/900) — the completed-work number,
+                        vs the dispatch-latency headline whose semantics
+                        on this relay rig are async like the reference's
+                        CUDA.jl/OpenCV/MATLAB rows. BENCH_EXEC=0 skips.
 
 Per-op latency headline is the MEDIAN over the POOLED per-round samples of
 two temporally-separated sweeps: this rig's relay transport adds
@@ -178,6 +184,25 @@ def main() -> int:
               f"(mean {mean * 1e6:10.1f} us, once {once * 1e3:8.1f} ms, "
               f"{speedups[col]:6.2f}x vs CUDA ref{extra})", file=sys.stderr)
 
+    # TRUE device execution time per op (chained-K marginal, the tight
+    # K=100/900 lab protocol — runtime/exec_timing.py): on this relay rig
+    # the dispatch rows above have async semantics (block_until_ready acks
+    # enqueue, same as the reference's CUDA.jl/OpenCV/MATLAB rows), so the
+    # JSON also carries the completed-work number the kernels are tuned
+    # against. Runs after all dispatch timing (its forced-completion fetch
+    # is a D2H, which flips the rig's dispatch mode). BENCH_EXEC=0 skips.
+    exec_us = {}
+    if os.environ.get("BENCH_EXEC", "1") != "0":
+        for col, t in session.execution_table(include_pipeline=True,
+                                              k1=100, k2=900, samples=5):
+            exec_us[col] = round(t * 1e6, 1)
+            if col in ops_json:
+                ops_json[col]["exec_us"] = exec_us[col]
+            base = CUDA_BASELINE_S.get(col)
+            vs = f", {base / t:6.2f}x vs CUDA ref" if base else ""
+            print(f"  {col:28s} {t * 1e6:10.1f} us exec{vs}",
+                  file=sys.stderr)
+
     # Raw D2H relay floor for the image's byte count, AFTER all op timing.
     d2h_floor = _d2h_floor(image.nbytes)
     print(f"  transport floor ({image.nbytes / 1e6:.1f} MB): "
@@ -208,6 +233,11 @@ def main() -> int:
         "rounds": rounds,
         "transport_floor_ms": {"h2d": round(h2d_floor * 1e3, 2),
                                "d2h": round(d2h_floor * 1e3, 2)},
+        **({"exec_geomean_us": round(geo(exec_us), 2),
+            "vs_baseline_exec": round(geo(
+                {c: CUDA_BASELINE_S[c] * 1e6 / exec_us[c]
+                 for c in compute}), 3)}
+           if all(c in exec_us for c in compute) else {}),
         "ops": ops_json,
     }))
     return 0
