@@ -75,6 +75,13 @@ def build_parser() -> ArgumentParser:
                         help="Add a 15th row: the fused "
                              "grayscale+threshold+erosion+blur pipeline "
                              "as a single kernel")
+    parser.add_argument("--fuse", metavar="COL,COL,...", default=None,
+                        help="Add a row running an ARBITRARY op chain fused "
+                             "into ONE kernel (models/chain.py): "
+                             "comma-separated CSV column names, e.g. "
+                             "'Grayscale,Threshold,Erosion-3x3-Square'. "
+                             "Pallas path + uint8 model only; Grayscale "
+                             "only first; total radius <= 8")
     parser.add_argument("--shards", type=int, default=0, metavar="N",
                         help="Run the op matrix row-sharded across N devices "
                              "(shard_map + ppermute halo exchange); "
@@ -167,6 +174,17 @@ def main(argv: list[str] | None = None) -> int:
             args.chained, include_pipeline=args.pipeline)
     else:
         table = session.operations(include_pipeline=args.pipeline)
+    if args.fuse:
+        if args.chained or args.shards:
+            print("--fuse is incompatible with --chained/--shards",
+                  file=sys.stderr)
+            return 2
+        try:
+            table.append(session.chain_operation(
+                [c.strip() for c in args.fuse.split(",") if c.strip()]))
+        except (ValueError, AssertionError) as e:
+            print(f"--fuse: {e}", file=sys.stderr)
+            return 2
     rounds = (args.rounds if args.rounds is not None
               else args.rounds_pos if args.rounds_pos is not None
               else 10000)

@@ -1,0 +1,396 @@
+"""Generic op-chain fusion: ANY sequence of benchmark ops as ONE kernel.
+
+`make_fused_chain(layout, cols)` compiles an arbitrary sequence of the
+14-op matrix's on-device ops into a single Pallas kernel: one HBM read of
+the band (+ the chain's total halo), every stage in VMEM/registers, one
+HBM write. Running k ops separately costs k HBM round-trips plus k times
+the ~39 us fixed vreg-path floor (DESIGN.md §2c); a fused chain pays both
+once — each extra stage costs only its ALU.
+
+This generalizes the hand-built flagship pipeline (models/pipeline.py,
+which additionally exploits threshold's binary output; the generic chain
+keeps every stage's full-domain form). Constraints, all checked at build
+time:
+
+- Total chain radius (sum of stage radii) <= layout.pad_y/pad_x. The
+  default layout halo is 2 (sized for the 5x5 benchmark ops); bake a
+  deeper chain's input with `make_layout(h, w, halo=R)` for total radius
+  R, up to 8 — the banded DMA window reaches exactly 8 rows beyond the
+  band (DMA_SLACK), and roll garbage propagates one column per
+  horizontal tap. E.g. halo=4 fuses four 3x3 windowed stages or one 5x5
+  + two 3x3, plus any number of point stages.
+- "Grayscale" may appear only FIRST (it is cross-channel; everything
+  after it runs once on the luma plane and is replicated to 3 channels
+  at the store, which is cheaper than per-channel).
+- Bit-exactness vs running the ops sequentially (each with fresh mirror
+  borders on its input) holds because every benchmark mask/structuring
+  element is symmetric: a symmetric stage applied to baked mirror rows
+  IS the mirror of the stage, so in-VMEM halo propagation reproduces the
+  standalone per-op border semantics (same argument as the fused
+  separables, ops/pallas/window.py docstring). Asserted per stage.
+- Mask VALUES are baked as compile-time immediates (like the specialized
+  gaussian_blur_3x3) — a chain is a compiled model, not a runtime-mask
+  benchmark op.
+
+Stage algebra (i32 values in [0, 255] throughout, 1 px/lane):
+point ops map rows->rows; a windowed stage with radius (ry, rx) consumes
+ry rows each side (slices) and rx columns of halo validity (rolls).
+Separated convolutions contribute their two per-pass-quantized stages;
+Erosion-1x3+3x1 == Erosion-3x3-Square exactly (min separability), and
+Gaussian-Blur-3x3 == Convolution-3x3 exactly (same mask, op #14 differs
+only in specialization) — the chain uses the fused forms.
+[reference: the op semantics being chained are sycl/benchmark.cpp:54-252]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import spec
+from ..ops.pallas.window import (_shift, _windowed_call, factor_rank1_int,
+                                 mask_to_taps)
+from ..utils.image import PlanarLayout
+
+
+class _Stage:
+    """fn: plain-i32 form (1 px/lane). pfn: packed-16 form (two u8-valued
+    16-bit fields per i32 lane, the shipped conv kernels' density) or None
+    when the op has no exact packed form (erosion: per-field min would
+    cost more than the packing saves, DESIGN.md §2c). A chain whose every
+    stage has a pfn runs packed end-to-end — measured 1.6-2x on
+    conv-heavy chains (chain_lab.py)."""
+    __slots__ = ("ry", "rx", "fn", "pfn")
+
+    def __init__(self, ry, rx, fn, pfn=None):
+        self.ry, self.rx, self.fn, self.pfn = ry, rx, fn, pfn
+
+
+def _point(fn, pfn=None):
+    return [_Stage(0, 0, lambda v, rows: fn(v),
+                   None if pfn is None else (lambda v, rows: pfn(v)))]
+
+
+def _erosion(taps):
+    dys = sorted({dy for dy, _ in taps})
+    dxs = sorted({dx for _, dx in taps})
+    ry = max(abs(d) for d in dys)
+    rx = max(abs(d) for d in dxs)
+    rect = {(dy, dx) for dy in dys for dx in dxs} == set(taps)
+
+    def fn(v, rows):
+        if rect:  # separable row-min then col-min (col-first, lab6)
+            cm = None
+            for dy in dys:
+                t = v[dy + ry:dy + ry + rows]
+                cm = t if cm is None else jnp.minimum(cm, t)
+            acc = None
+            for dx in dxs:
+                t = _shift(cm, dx)
+                acc = t if acc is None else jnp.minimum(acc, t)
+            return acc
+        acc = None
+        for dy, dx in sorted(taps):
+            t = _shift(v[dy + ry:dy + ry + rows], dx)
+            acc = t if acc is None else jnp.minimum(acc, t)
+        return acc
+
+    return [_Stage(ry, rx, fn)]
+
+
+def _swar_round(shift: int, max_field: int):
+    """In-place round-half-up of both 16-bit fields (the shipped kernels'
+    SWAR scheme, _packed_quantizer): exact iff the rounding add cannot
+    carry across the field boundary."""
+    half = 1 << (shift - 1)
+    assert max_field + half < (1 << 16), "packed chain stage would carry"
+    half2 = half * 0x00010001
+    rmask2 = (0xFFFF >> shift) * 0x00010001
+
+    def requant(acc):
+        return jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+
+    return requant
+
+
+def _conv_rank1(int_mask: np.ndarray, shift: int):
+    """Dense conv as unrounded col-MAC + row-MAC + one round — exact
+    (factor_rank1_int docstring). Weights become immediates."""
+    uv = factor_rank1_int(int_mask)
+    assert uv is not None, "chain conv stages need a rank-1 mask"
+    u, v = (x.tolist() for x in uv)
+    assert u == u[::-1] and v == v[::-1], "chain stages must be symmetric"
+    ry, rx = len(u) // 2, len(v) // 2
+    half = 1 << (shift - 1)
+    requant = _swar_round(shift, 255 * int(int_mask.sum()))
+
+    def mac(val, rows):
+        col = None
+        for ky, w in enumerate(u):
+            t = val[ky:ky + rows] * np.int32(w)
+            col = t if col is None else col + t
+        acc = None
+        for kx, w in enumerate(v):
+            t = _shift(col, kx - rx) * np.int32(w)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def fn(val, rows):
+        return (mac(val, rows) + half) >> shift
+
+    def pfn(val, rows):
+        # packed fields: col sums <= 255*sum(u), acc <= 255*sum(mask),
+        # both < 2^16 for the benchmark masks (asserted above) — the same
+        # exactness proof as ops/pallas/window.body_rank1.
+        return requant(mac(val, rows))
+
+    return [_Stage(ry, rx, fn, pfn)]
+
+
+def _conv_separated(row_mask: np.ndarray, shift: int):
+    """The 1xN + Nx1 op's two per-pass-quantized stages (matching the
+    benchmark op's intermediate u8 quantization exactly)."""
+    w = row_mask.reshape(-1).tolist()
+    assert w == w[::-1], "chain stages must be symmetric"
+    r = len(w) // 2
+    half = 1 << (shift - 1)
+
+    requant = _swar_round(shift, 255 * int(row_mask.sum()))
+
+    def hmac(val):
+        acc = None
+        for kx, wk in enumerate(w):
+            # multiply BEFORE rolling (commutes): keeps the roll's input a
+            # computed i32 value even when this is the chain's first stage
+            # (Mosaic can hoist a roll through the u8->i32 widen into an
+            # unsupported 8-bit rotate — see make_gaussian_blur_3x3).
+            t = _shift(val * np.int32(wk), kx - r)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def vmac(val, rows):
+        acc = None
+        for ky, wk in enumerate(w):
+            t = val[ky:ky + rows] * np.int32(wk)
+            acc = t if acc is None else acc + t
+        return acc
+
+    return [_Stage(0, r, lambda v, rows: (hmac(v) + half) >> shift,
+                   lambda v, rows: requant(hmac(v))),
+            _Stage(r, 0, lambda v, rows: (vmac(v, rows) + half) >> shift,
+                   lambda v, rows: requant(vmac(v, rows)))]
+
+
+def _stages_for(col: str) -> list[_Stage]:
+    if col == "Copy":
+        return _point(lambda v: v, lambda v: v)
+    if col == "Inversion":
+        # packed: 255 - f per field; fields <= 255 so no cross-field borrow
+        return _point(lambda v: 255 - v,
+                      lambda v: np.int32(0x00FF00FF) - v)
+    if col == "Threshold":
+        # packed: f > 127 <=> bit 7 of the u8-valued field; extract both
+        # fields' bit 7 and scale to 255 (the SWAR threshold trick at
+        # 16-bit field granularity, ops/pallas/point.py)
+        return _point(
+            lambda v: jnp.where(
+                v > spec.THRESHOLD_VALUE, spec.THRESHOLD_MAX, 0),
+            lambda v: (jax.lax.shift_right_logical(v, 7)
+                       & np.int32(0x00010001)) * np.int32(255))
+    if col == "Erosion-3x3-Cross":
+        return _erosion(mask_to_taps(spec.CROSS_MASK_3X3))
+    if col in ("Erosion-3x3-Square", "Erosion-1x3+3x1-Square"):
+        # min separability: the 1x3+3x1 two-pass op IS the 3x3 square.
+        return _erosion(mask_to_taps(spec.SQUARE_MASK_3X3))
+    if col in ("Convolution-3x3", "Gaussian-Blur-3x3"):
+        # op #14 shares Convolution-3x3's semantics (it measures
+        # specialization, which the chain does anyway: baked immediates).
+        return _conv_rank1(spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT)
+    if col == "Convolution-5x5":
+        return _conv_rank1(spec.BLUR_5X5_INT, spec.BLUR_5X5_SHIFT)
+    if col == "Convolution-1x3+3x1":
+        return _conv_separated(spec.BLUR_1X3_INT, spec.BLUR_SEP3_SHIFT)
+    if col == "Convolution-1x5+5x1":
+        return _conv_separated(spec.BLUR_1X5_INT, spec.BLUR_SEP5_SHIFT)
+    raise ValueError(f"op not fusable in a chain: {col!r}")
+
+
+def _chain_stages(cols: list[str]) -> tuple[bool, list[_Stage]]:
+    assert cols, "empty chain"
+    gray_first = cols[0] == "Grayscale"
+    rest = cols[1:] if gray_first else cols
+    assert "Grayscale" not in rest, "Grayscale only as the first stage"
+    stages: list[_Stage] = []
+    for col in rest:
+        stages.extend(_stages_for(col))
+    return gray_first, stages
+
+
+def chain_radius(cols: list[str]) -> tuple[int, int]:
+    """(ry, rx): the chain's total vertical/horizontal radius — the halo
+    the input layout must be baked with (make_layout(h, w, halo=...))."""
+    _, stages = _chain_stages(cols)
+    return sum(s.ry for s in stages), sum(s.rx for s in stages)
+
+
+def make_fused_chain(layout: PlanarLayout, cols: list[str]):
+    """One Pallas kernel applying `cols` in order over the planar padded
+    image; shape-preserving (C, Hp, Wp) -> (C, Hp, Wp) like every windowed
+    op. cols may start with "Grayscale" (cross-channel; handled by the
+    flagship-pipeline-style 3-channel kernel)."""
+    gray_first, stages = _chain_stages(cols)
+    hy = sum(s.ry for s in stages)
+    hx = sum(s.rx for s in stages)
+    assert hy <= layout.pad_y and hx <= layout.pad_x, (
+        f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
+        f"({layout.pad_y}); shorten the chain or enlarge the halo")
+    band = layout.band
+    packed = all(s.pfn is not None for s in stages)
+    ph = band // 2
+
+    def run_stages(v):
+        rows = band + 2 * hy
+        for s in stages:
+            rows -= 2 * s.ry
+            v = s.fn(v, rows)
+        return v
+
+    def run_stages_packed(p):
+        # p: two u8-valued 16-bit fields per lane — lo = output rows
+        # [0, ph), hi = [ph, band), halves' windows overlapping by the
+        # remaining halo (the shipped packed conv scheme). Every stage
+        # requants to u8-valued fields, so packing safety holds at every
+        # stage boundary.
+        rows = ph + 2 * hy
+        for s in stages:
+            rows -= 2 * s.ry
+            p = s.pfn(p, rows)
+        return p
+
+    def pack(v):  # v: (band + 2*hy, :) i32 rows
+        w_rows = ph + 2 * hy
+        return v[0:w_rows] + (v[ph:ph + w_rows] << 16)
+
+    if not gray_first:
+        if packed:
+            def body(x_vmem, out_ref, *_):
+                w_rows = ph + 2 * hy
+                lo = x_vmem[0:w_rows, :].astype(jnp.int32)
+                hi = x_vmem[ph:ph + w_rows, :].astype(jnp.int32)
+                p = run_stages_packed(lo + (hi << 16))
+                out_ref[0, 0:ph] = p.astype(jnp.uint8)
+                out_ref[0, ph:band] = jax.lax.shift_right_logical(
+                    p, 16).astype(jnp.uint8)
+        else:
+            def body(x_vmem, out_ref, *_):
+                v = x_vmem[:, :].astype(jnp.int32)
+                out_ref[0] = run_stages(v).astype(jnp.uint8)
+
+        return _windowed_call(layout, hy, body)
+
+    # Grayscale-first: 3-channel window, luma once, single-plane chain,
+    # replicate at the store (the dedicated 3-channel kernel below).
+    if packed:
+        def run_from_luma(luma):  # (band + 2*hy, :) i32, u8-valued
+            return run_stages_packed(pack(luma))
+        return _make_gray_chain(layout, hy, run_from_luma,
+                                packed_store=(ph, band))
+    return _make_gray_chain(layout, hy, run_stages)
+
+
+def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
+                     packed_store: tuple[int, int] | None = None):
+    """Pipeline-style kernel (models/pipeline.py DMA scheme): DMA all 3
+    channels of the band window, compute the exact fixed-point luma, run
+    the remaining stages once on the luma plane, write it to all 3 output
+    channels. packed_store=(ph, band): run_stages returns a packed-16
+    value whose fields are the two output halves."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops.pallas.common import interpret_mode
+    from ..utils import image as image_mod
+
+    c, hp, wp = layout.shape
+    assert c == 3
+    band = layout.band
+    blen = band + image_mod.DMA_SLACK
+    nb = layout.n_bands
+    base = 8 - hy
+    assert hy <= 8
+
+    def kernel(in_hbm, out_ref, x_vmem, sem):
+        i = pl.program_id(0)
+
+        def dma0(slot):
+            return pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(0, blen - 8), :],
+                x_vmem.at[slot, :, pl.ds(8, blen - 8)], sem.at[slot])
+
+        def dma(slot, ii):
+            return pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band - 8, 8), blen),
+                          :],
+                x_vmem.at[slot], sem.at[slot])
+
+        def start(slot, ss):
+            @pl.when(ss == 0)
+            def _():
+                dma0(slot).start()
+
+            @pl.when(ss > 0)
+            def _():
+                dma(slot, ss).start()
+
+        @pl.when(i == 0)
+        def _():
+            start(0, 0)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start((i + 1) % 2, i + 1)
+
+        @pl.when(i == 0)
+        def _():
+            dma0(0).wait()
+
+        @pl.when(i > 0)
+        def _():
+            dma(i % 2, i).wait()
+
+        x = x_vmem[i % 2][:, base:base + band + 2 * hy]
+        r = x[0].astype(jnp.int32)
+        g = x[1].astype(jnp.int32)
+        b = x[2].astype(jnp.int32)
+        lw_r, lw_g, lw_b = spec.GRAYSCALE_WEIGHTS_INT_RGB
+        luma = (lw_r * r + lw_g * g + lw_b * b) >> spec.GRAYSCALE_SHIFT
+        res = run_stages(luma)
+        if packed_store is not None:
+            ph, band_ = packed_store
+            lo = res.astype(jnp.uint8)
+            hi = jax.lax.shift_right_logical(res, 16).astype(jnp.uint8)
+            for ch in range(3):
+                out_ref[ch, 0:ph] = lo
+                out_ref[ch, ph:band_] = hi
+        else:
+            out = res.astype(jnp.uint8)
+            for ch in range(3):
+                out_ref[ch] = out
+
+    @jax.jit
+    def op(planar: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.uint8),
+                            pltpu.SemaphoreType.DMA((2,))],
+            interpret=interpret_mode(),
+        )(planar)
+
+    return op

@@ -63,6 +63,7 @@ class BenchmarkSession:
         self.dtype = dtype
         self.device = device or jax.devices()[0]
         self._sample: jax.Array | None = None
+        self._extra_oracles: dict = {}
         if dtype not in ("uint8", "float32"):
             raise ValueError(f"Unknown dtype: {dtype!r}")
 
@@ -269,6 +270,49 @@ class BenchmarkSession:
             "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "pipeline",
             "Fused-Pipeline", run, (lambda: crop(self._sample)))
 
+    def chain_operation(self, cols: list[str]) -> Operation:
+        """Extra benchmark row: an ARBITRARY fused op chain (models/chain
+        .py) as ONE Pallas dispatch — the user-composable generalization of
+        pipeline_operation. Pallas path, uint8 model only. When the chain's
+        total radius exceeds the session layout's halo, a deeper-halo
+        layout + planar copy is built here (untimed session state, like
+        the initial upload)."""
+        if self.path != "pallas" or self.dtype != "uint8":
+            raise ValueError(
+                "fused chains need --path pallas --dtype uint8")
+        from .models import chain as chain_model
+        from .utils.image import from_planar_padded
+        ry, rx = chain_model.chain_radius(cols)
+        r = max(ry, rx)
+        if r <= self.layout.pad_y:
+            layout, planar = self.layout, self.planar_dev
+        else:
+            h, w, c = self.host_image.shape
+            layout = image_util.make_layout(h, w, c, halo=r)
+            planar = _sync(jax.device_put(
+                image_util.to_planar_padded(self.host_image, layout),
+                self.device))
+        fn = chain_model.make_fused_chain(layout, cols)
+        op = AotOp(fn)
+
+        def run():
+            self._sample = _sync(op(planar))
+
+        def fetch():
+            return from_planar_padded(np.asarray(self._sample), layout)
+
+        def seq_oracle(im, _cols=tuple(cols)):
+            from . import oracle
+            for c in _cols:
+                im = oracle.IMAGE_OPS[c](im)
+            return im
+
+        self._extra_oracles["Fused-Chain"] = seq_oracle
+        desc = "Fused Chain (" + "+".join(
+            c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
+            for c in cols) + ")"
+        return Operation(desc, "chain", "Fused-Chain", run, fetch)
+
     def _fetch_sample(self) -> np.ndarray:
         raise RuntimeError("memory ops produce no image")  # prefix == ""
 
@@ -291,4 +335,8 @@ class BenchmarkSession:
                     fn(oracle_f32.from_uint8_hwc(im)))
             return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
         from . import native, oracle
-        return native.image_ops() if native.available() else oracle.IMAGE_OPS
+        base = (native.image_ops() if native.available()
+                else oracle.IMAGE_OPS)
+        if self._extra_oracles:
+            base = {**base, **self._extra_oracles}
+        return base

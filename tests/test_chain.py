@@ -1,0 +1,116 @@
+"""Generic fused op chains (models/chain.py) must match running the ops
+sequentially — each sequential step re-applying the oracle to the previous
+step's uint8 output with fresh mirror borders. Pallas interpret mode on
+CPU (conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import oracle
+from dip_benchmark_tpu.models.chain import make_fused_chain
+from dip_benchmark_tpu.utils.image import (from_planar_padded, make_layout,
+                                           to_planar_padded)
+
+CHAINS = [
+    # (cols, layout halo — None = default 2; deeper chains need
+    #  halo >= total radius, see models/chain.py docstring)
+    # the flagship config, via the generic builder
+    (["Grayscale", "Threshold", "Erosion-3x3-Square",
+      "Gaussian-Blur-3x3"], None),
+    # per-channel point + dense conv
+    (["Inversion", "Convolution-3x3"], None),
+    # separated conv stages (per-pass quantization) + plus-shape erosion
+    (["Convolution-1x5+5x1", "Erosion-3x3-Cross"], 3),
+    # long mixed chain (total radius 2+1+1 = 4)
+    (["Convolution-5x5", "Convolution-3x3", "Erosion-3x3-Square",
+      "Threshold"], 4),
+    # the two alias ops map to their exact equivalents
+    (["Erosion-1x3+3x1-Square", "Copy"], None),
+    # grayscale-first with a separated conv after it
+    (["Grayscale", "Convolution-1x3+3x1"], None),
+]
+
+
+def run_chain(cols, image, halo=None):
+    kw = {"halo": halo} if halo else {}
+    layout = make_layout(*image.shape[:2], **kw)
+    planar = jax.device_put(to_planar_padded(image, layout))
+    out = np.asarray(make_fused_chain(layout, cols)(planar))
+    return from_planar_padded(out, layout)
+
+
+def sequential(cols, image):
+    for col in cols:
+        image = oracle.IMAGE_OPS[col](image)
+    return image
+
+
+@pytest.mark.parametrize("cols,halo", CHAINS, ids=lambda c: (
+    "+".join(c) if isinstance(c, list) else str(c)))
+def test_chain_matches_sequential_oracle(cols, halo, small_image):
+    np.testing.assert_array_equal(run_chain(cols, small_image, halo),
+                                  sequential(cols, small_image))
+
+
+def test_chain_matches_sequential_oracle_gradient(gradient_image):
+    cols = ["Convolution-3x3", "Erosion-3x3-Square", "Inversion"]
+    np.testing.assert_array_equal(run_chain(cols, gradient_image),
+                                  sequential(cols, gradient_image))
+
+
+def test_chain_radius_budget_enforced(small_image):
+    layout = make_layout(*small_image.shape[:2])
+    with pytest.raises(AssertionError, match="chain radius"):
+        make_fused_chain(layout, ["Convolution-5x5"] * 5)  # ry = 10 > 8
+
+
+def test_chain_grayscale_only_first(small_image):
+    layout = make_layout(*small_image.shape[:2])
+    with pytest.raises(AssertionError, match="Grayscale"):
+        make_fused_chain(layout, ["Inversion", "Grayscale"])
+
+
+def test_chain_rejects_memory_ops(small_image):
+    layout = make_layout(*small_image.shape[:2])
+    with pytest.raises(ValueError, match="not fusable"):
+        make_fused_chain(layout, ["Upload"])
+
+
+def test_cli_fuse_row(small_image, tmp_path):
+    """--fuse adds a verified Fused Chain row and dumps its image; a chain
+    whose radius exceeds the default halo gets a deeper-halo rebake."""
+    import os
+    import subprocess
+    import sys
+
+    from dip_benchmark_tpu.utils.image import save_image
+    img_path = tmp_path / "in.png"
+    save_image(str(img_path), small_image)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIP_FORCE_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/tpu/benchmark.py", str(img_path),
+         str(tmp_path / "out"), "--rounds", "1", "--backend", "cpu",
+         "--verify", "--fuse", "Convolution-5x5,Inversion,Convolution-3x3"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Fused Chain (Conv5x5+Inversion+Conv3x3)" in proc.stdout
+    assert (tmp_path / "out" / "chain-in.png").exists()
+
+    bad = subprocess.run(
+        [sys.executable, "benchmarks/tpu/benchmark.py", str(img_path),
+         str(tmp_path / "out"), "--rounds", "1", "--backend", "cpu",
+         "--fuse", "Inversion,Grayscale"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert bad.returncode == 2
+    assert "Grayscale" in bad.stderr
+
+
+def test_chain_max_radius_composes(small_image):
+    """Total radius exactly at the DMA-window budget (8): four 5x5 convs
+    on a halo=8 layout."""
+    cols = ["Convolution-5x5"] * 4
+    np.testing.assert_array_equal(run_chain(cols, small_image, halo=8),
+                                  sequential(cols, small_image))
