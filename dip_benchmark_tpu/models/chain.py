@@ -59,9 +59,10 @@ class _Stage:
     """fn: plain-i32 form (1 px/lane). pfn: packed-16 form (two u8-valued
     16-bit fields per i32 lane, the shipped conv kernels' density) or None
     when the op has no exact packed form (erosion: per-field min would
-    cost more than the packing saves, DESIGN.md §2c). A chain whose every
-    stage has a pfn runs packed end-to-end — measured 1.6-2x on
-    conv-heavy chains (chain_lab.py)."""
+    cost more than the packing saves, DESIGN.md §2c). Chains with any
+    packed MAC stage run packed, routing pfn-less stages through an
+    unpack -> per-half i32 -> repack island — measured 1.3-2.8x on
+    MAC-bearing chains (chain_lab.py)."""
     __slots__ = ("ry", "rx", "fn", "pfn")
 
     def __init__(self, ry, rx, fn, pfn=None):
@@ -247,7 +248,12 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str]):
         f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
         f"({layout.pad_y}); shorten the chain or enlarge the halo")
     band = layout.band
-    packed = all(s.pfn is not None for s in stages)
+    # Packed pays off when any MAC stage can run at 2 rows/lane; a stage
+    # with no packed form (erosion) runs as an unpack -> per-half i32 ->
+    # repack island, costing ~4 cheap word-ops and nothing on the stage
+    # itself (each half carries its own halo rows, so fn applies per half
+    # unchanged). An all-erosion chain skips packing entirely.
+    packed = any(s.pfn is not None and (s.ry or s.rx) for s in stages)
     ph = band // 2
 
     def run_stages(v):
@@ -266,7 +272,12 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str]):
         rows = ph + 2 * hy
         for s in stages:
             rows -= 2 * s.ry
-            p = s.pfn(p, rows)
+            if s.pfn is not None:
+                p = s.pfn(p, rows)
+            else:
+                lo = p & np.int32(0xFFFF)
+                hi = jax.lax.shift_right_logical(p, 16)
+                p = s.fn(lo, rows) + (s.fn(hi, rows) << 16)
         return p
 
     def pack(v):  # v: (band + 2*hy, :) i32 rows
