@@ -195,11 +195,15 @@ def main() -> int:
     if os.environ.get("BENCH_EXEC", "1") != "0":
         for col, t in session.execution_table(include_pipeline=True,
                                               k1=100, k2=900, samples=5):
+            # The marginal clamps to 0.0 when relay jitter swamps a cheap
+            # op's K2-K1 delta (exec_timing.py); report it as unresolved
+            # and keep it out of ratios/geomeans rather than dividing by it.
             exec_us[col] = round(t * 1e6, 1)
             if col in ops_json:
                 ops_json[col]["exec_us"] = exec_us[col]
             base = CUDA_BASELINE_S.get(col)
-            vs = f", {base / t:6.2f}x vs CUDA ref" if base else ""
+            vs = (f", {base / t:6.2f}x vs CUDA ref" if base and t > 0
+                  else (", unresolved (jitter > marginal)" if t <= 0 else ""))
             print(f"  {col:28s} {t * 1e6:10.1f} us exec{vs}",
                   file=sys.stderr)
 
@@ -237,7 +241,7 @@ def main() -> int:
             "vs_baseline_exec": round(geo(
                 {c: CUDA_BASELINE_S[c] * 1e6 / exec_us[c]
                  for c in compute}), 3)}
-           if all(c in exec_us for c in compute) else {}),
+           if all(exec_us.get(c, 0) > 0 for c in compute) else {}),
         "ops": ops_json,
     }))
     return 0

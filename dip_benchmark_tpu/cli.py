@@ -107,16 +107,12 @@ def build_parser() -> ArgumentParser:
                         help="DEVIATION from the reference timing protocol "
                              "(which starts the timed loop right after the "
                              "'once' call): N untimed post-compile calls "
-                             "drain the compile transport burst on relay "
-                             "rigs. Pass --warmup 0 for the strict "
-                             "reference protocol. "
-                             "Untimed post-compile calls before each op's "
-                             "timed loop — drains the compile-time transport "
-                             "burst that otherwise congests the first ~100ms "
-                             "of rounds on tunneled rigs (capped at 1 for "
-                             "host-transfer ops). Default 10; use 0 for the "
-                             "strict reference protocol (loop starts "
-                             "immediately after the 'once' call)")
+                             "before each op's timed loop drain the compile "
+                             "transport burst that otherwise congests the "
+                             "first ~100ms of rounds on tunneled rigs "
+                             "(capped at 1 for host-transfer ops). "
+                             "Default 10; pass 0 for the strict reference "
+                             "protocol")
     parser.add_argument("--stats", action="store_true",
                         help="Print per-op latency distribution "
                              "(min/p50/p95/max) under each row")

@@ -20,8 +20,12 @@ from ..ops import xla
 from ..utils.image import is_image_file, load_image, save_image
 
 
+@functools.lru_cache(maxsize=None)
 def batch_op(csv_column: str):
-    """Jitted (B, H, W, C) uint8 -> (B, H, W, C) op (X-path, vmapped)."""
+    """Jitted (B, H, W, C) uint8 -> (B, H, W, C) op (X-path, vmapped).
+    Cached: jax.jit's compile cache is keyed by function identity, so a
+    fresh wrapper per directory chunk would retrace+recompile every chunk
+    — synchronous host work that would defeat the dispatch/fetch overlap."""
     fn = xla.IMAGE_OPS[csv_column]
     return jax.jit(jax.vmap(fn))
 

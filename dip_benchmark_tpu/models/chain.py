@@ -51,7 +51,7 @@ import jax.numpy as jnp
 
 from .. import spec
 from ..ops.pallas.window import (_shift, _windowed_call, factor_rank1_int,
-                                 mask_to_taps)
+                                 mask_to_taps, swar_requant)
 from ..utils.image import PlanarLayout
 
 
@@ -101,21 +101,6 @@ def _erosion(taps):
     return [_Stage(ry, rx, fn)]
 
 
-def _swar_round(shift: int, max_field: int):
-    """In-place round-half-up of both 16-bit fields (the shipped kernels'
-    SWAR scheme, _packed_quantizer): exact iff the rounding add cannot
-    carry across the field boundary."""
-    half = 1 << (shift - 1)
-    assert max_field + half < (1 << 16), "packed chain stage would carry"
-    half2 = half * 0x00010001
-    rmask2 = (0xFFFF >> shift) * 0x00010001
-
-    def requant(acc):
-        return jax.lax.shift_right_logical(acc + half2, shift) & rmask2
-
-    return requant
-
-
 def _conv_rank1(int_mask: np.ndarray, shift: int):
     """Dense conv as unrounded col-MAC + row-MAC + one round — exact
     (factor_rank1_int docstring). Weights become immediates."""
@@ -125,7 +110,7 @@ def _conv_rank1(int_mask: np.ndarray, shift: int):
     assert u == u[::-1] and v == v[::-1], "chain stages must be symmetric"
     ry, rx = len(u) // 2, len(v) // 2
     half = 1 << (shift - 1)
-    requant = _swar_round(shift, 255 * int(int_mask.sum()))
+    requant = swar_requant(shift, 255 * int(int_mask.sum()))
 
     def mac(val, rows):
         col = None
@@ -158,7 +143,7 @@ def _conv_separated(row_mask: np.ndarray, shift: int):
     r = len(w) // 2
     half = 1 << (shift - 1)
 
-    requant = _swar_round(shift, 255 * int(row_mask.sum()))
+    requant = swar_requant(shift, 255 * int(row_mask.sum()))
 
     def hmac(val):
         acc = None
@@ -313,65 +298,14 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str]):
 
 def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
                      packed_store: tuple[int, int] | None = None):
-    """Pipeline-style kernel (models/pipeline.py DMA scheme): DMA all 3
-    channels of the band window, compute the exact fixed-point luma, run
-    the remaining stages once on the luma plane, write it to all 3 output
-    channels. packed_store=(ph, band): run_stages returns a packed-16
-    value whose fields are the two output halves."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    """Cross-channel kernel via _windowed_call(fused_channels=True): DMA
+    all 3 channels of the band window, compute the exact fixed-point luma,
+    run the remaining stages once on the luma plane, write it to all 3
+    output channels. packed_store=(ph, band): run_stages returns a
+    packed-16 value whose fields are the two output halves."""
+    assert layout.channels == 3
 
-    from ..ops.pallas.common import interpret_mode
-    from ..utils import image as image_mod
-
-    c, hp, wp = layout.shape
-    assert c == 3
-    band = layout.band
-    blen = band + image_mod.DMA_SLACK
-    nb = layout.n_bands
-    base = 8 - hy
-    assert hy <= 8
-
-    def kernel(in_hbm, out_ref, x_vmem, sem):
-        i = pl.program_id(0)
-
-        def dma0(slot):
-            return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(0, blen - 8), :],
-                x_vmem.at[slot, :, pl.ds(8, blen - 8)], sem.at[slot])
-
-        def dma(slot, ii):
-            return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band - 8, 8), blen),
-                          :],
-                x_vmem.at[slot], sem.at[slot])
-
-        def start(slot, ss):
-            @pl.when(ss == 0)
-            def _():
-                dma0(slot).start()
-
-            @pl.when(ss > 0)
-            def _():
-                dma(slot, ss).start()
-
-        @pl.when(i == 0)
-        def _():
-            start(0, 0)
-
-        @pl.when(i + 1 < nb)
-        def _():
-            start((i + 1) % 2, i + 1)
-
-        @pl.when(i == 0)
-        def _():
-            dma0(0).wait()
-
-        @pl.when(i > 0)
-        def _():
-            dma(i % 2, i).wait()
-
-        x = x_vmem[i % 2][:, base:base + band + 2 * hy]
+    def body(x, out_ref, *_):
         r = x[0].astype(jnp.int32)
         g = x[1].astype(jnp.int32)
         b = x[2].astype(jnp.int32)
@@ -390,18 +324,4 @@ def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
             for ch in range(3):
                 out_ref[ch] = out
 
-    @jax.jit
-    def op(planar: jax.Array) -> jax.Array:
-        return pl.pallas_call(
-            kernel,
-            grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
-            scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.uint8),
-                            pltpu.SemaphoreType.DMA((2,))],
-            interpret=interpret_mode(),
-        )(planar)
-
-    return op
+    return _windowed_call(layout, hy, body, fused_channels=True)

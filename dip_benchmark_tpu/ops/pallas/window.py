@@ -48,10 +48,15 @@ from .common import interpret_mode
 def _windowed_call(layout: PlanarLayout, hy: int, body,
                    mask_args: tuple[np.ndarray, ...] = (),
                    band: int | None = None, dtype=jnp.uint8,
-                   raw_window: bool = False):
+                   raw_window: bool = False, fused_channels: bool = False):
     """Shared skeleton: double-buffered band DMA, then
     body(x, out_ref, *mask_refs) where x is a (band + 2*hy, Wp) halo window;
     bodies slice rows [k, k + band) for tap k in [0, 2*hy].
+
+    fused_channels=True: grid over bands only; each step DMAs ALL C
+    channels of the band window, body gets x of shape (C, band + 2*hy, Wp)
+    and an out_ref block of (C, band, Wp) — for cross-channel bodies
+    (grayscale-leading chains, models/chain.py). Same DMA invariants.
 
     SHAPE-PRESERVING (round 2): output has the SAME padded (Hp, Wp) shape
     and coordinates as the input — out row j holds the op result for padded
@@ -82,7 +87,7 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         assert band % 8 == 0 and layout.banded_height % band == 0
     blen = band + image_mod.DMA_SLACK
     nb = layout.banded_height // band
-    total = c * nb
+    total = nb if fused_channels else c * nb
     assert hy <= 8 and layout.pad_y >= hy
     assert hp >= layout.banded_height + 8  # last band's window tail
     n_mask = len(mask_args)
@@ -93,25 +98,35 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         mask_refs = refs[1:1 + n_mask]
         out_ref = refs[1 + n_mask]
         x_vmem, sem = refs[2 + n_mask:]
-        ch = pl.program_id(0)
-        i = pl.program_id(1)
-        step = ch * nb + i
+        if fused_channels:
+            i = pl.program_id(0)
+            step = i
+        else:
+            ch = pl.program_id(0)
+            i = pl.program_id(1)
+            step = ch * nb + i
+
+        def src(cc, rows):
+            return (in_hbm.at[:, rows, :] if fused_channels
+                    else in_hbm.at[cc, rows, :])
+
+        def dst0(slot):
+            return (x_vmem.at[slot, :, pl.ds(8, blen - 8)] if fused_channels
+                    else x_vmem.at[slot, pl.ds(8, blen - 8)])
 
         def dma0(slot, cc):
             # Band 0: window rows [0, 8) would be padded rows [-8, 0);
             # land the copy at VMEM offset 8, leave stale rows below.
             return pltpu.make_async_copy(
-                in_hbm.at[cc, pl.ds(0, blen - 8), :],
-                x_vmem.at[slot, pl.ds(8, blen - 8)], sem.at[slot])
+                src(cc, pl.ds(0, blen - 8)), dst0(slot), sem.at[slot])
 
         def dma(slot, cc, ii):  # ii >= 1
             return pltpu.make_async_copy(
-                in_hbm.at[cc, pl.ds(pl.multiple_of(ii * band - 8, 8),
-                                    blen), :],
+                src(cc, pl.ds(pl.multiple_of(ii * band - 8, 8), blen)),
                 x_vmem.at[slot], sem.at[slot])
 
         def start(slot, ss):
-            cc, ii = ss // nb, ss % nb
+            cc, ii = (0, ss) if fused_channels else (ss // nb, ss % nb)
 
             @pl.when(ii == 0)
             def _():
@@ -131,17 +146,20 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
 
         @pl.when(i == 0)
         def _():
-            dma0(step % 2, ch).wait()
+            dma0(step % 2, 0 if fused_channels else ch).wait()
 
         @pl.when(i > 0)
         def _():
-            dma(step % 2, ch, i).wait()
+            dma(step % 2, 0 if fused_channels else ch, i).wait()
 
         if raw_window:
             # Body gets the full (blen, Wp) window (4-row-packing aligned
             # at its start, for native-u8 bitcast tricks) and slices taps
             # itself at [base + k : base + k + band].
             body(x_vmem[step % 2], out_ref, *mask_refs)
+        elif fused_channels:
+            x = x_vmem[step % 2][:, base:base + band + 2 * hy]
+            body(x, out_ref, *mask_refs)
         else:
             # Slice the window down to exactly band + 2*hy rows so bodies
             # index taps as [k : k + band] for k in [0, 2*hy].
@@ -150,17 +168,26 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_mask
+    if fused_channels:
+        grid = (nb,)
+        out_specs = pl.BlockSpec((c, band, wp), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((2, c, blen, wp), dtype)
+    else:
+        grid = (c, nb)
+        out_specs = pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
+                                 memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((2, blen, wp), dtype)
 
     @jax.jit
     def op(planar: jax.Array) -> jax.Array:
         return pl.pallas_call(
             kernel,
-            grid=(c, nb),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
-            scratch_shapes=[pltpu.VMEM((2, blen, wp), dtype),
+            scratch_shapes=[scratch,
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),
         )(planar, *mask_args)
@@ -322,6 +349,23 @@ def _packable(int_mask: np.ndarray) -> bool:
     return bool((int_mask >= 0).all()) and 255 * int(int_mask.sum()) < (1 << 16)
 
 
+def swar_requant(shift: int, max_field: int):
+    """THE cross-field-carry proof: in-place round-half-up of both 16-bit
+    fields of a packed i32 accumulator with one add/shift/mask. Exact iff
+    the rounding add cannot carry across the field boundary — asserted
+    here, the single place the bound lives (used by _packed_quantizer and
+    models/chain.py's packed stages)."""
+    half = 1 << (shift - 1)
+    assert max_field + half < (1 << 16), "SWAR rounding would carry"
+    half2 = half * 0x00010001
+    rmask2 = (0xFFFF >> shift) * 0x00010001
+
+    def requant(acc):
+        return jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+
+    return requant
+
+
 def _packed_quantizer(int_mask: np.ndarray, shift: int):
     """(requant, store): the shared round-half-up + narrow logic for every
     packed-16 RUNTIME-mask body, so the cross-field-carry proof lives once.
@@ -341,15 +385,14 @@ def _packed_quantizer(int_mask: np.ndarray, shift: int):
     hi_clip = ((255 * int(int_mask.clip(min=0).sum()) + half) >> shift) > 255
     swar = (not (lo_clip or hi_clip)
             and 255 * int(int_mask.sum()) + half < (1 << 16))
-    half2 = half * 0x00010001
-    rmask2 = (0xFFFF >> shift) * 0x00010001
+    fast = swar_requant(shift, 255 * int(int_mask.sum())) if swar else None
 
     def clamp(vals):
         return jnp.clip(vals, 0, 255) if (lo_clip or hi_clip) else vals
 
     def requant(acc):
         if swar:
-            return jax.lax.shift_right_logical(acc + half2, shift) & rmask2
+            return fast(acc)
         lo = clamp(((acc & 0xFFFF) + half) >> shift)
         hi = clamp((jax.lax.shift_right_logical(acc, 16) + half) >> shift)
         return lo + (hi << 16)
