@@ -305,7 +305,7 @@ def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
     packed-16 value whose fields are the two output halves."""
     assert layout.channels == 3
 
-    def body(x, out_ref, *_):
+    def body(x, write, *_):
         r = x[0].astype(jnp.int32)
         g = x[1].astype(jnp.int32)
         b = x[2].astype(jnp.int32)
@@ -317,11 +317,11 @@ def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
             lo = res.astype(jnp.uint8)
             hi = jax.lax.shift_right_logical(res, 16).astype(jnp.uint8)
             for ch in range(3):
-                out_ref[ch, 0:ph] = lo
-                out_ref[ch, ph:band_] = hi
+                write(ch, slice(0, ph), lo)
+                write(ch, slice(ph, band_), hi)
         else:
             out = res.astype(jnp.uint8)
             for ch in range(3):
-                out_ref[ch] = out
+                write(ch, slice(None), out)
 
     return _windowed_call(layout, hy, body, fused_channels=True)

@@ -48,15 +48,21 @@ from .common import interpret_mode
 def _windowed_call(layout: PlanarLayout, hy: int, body,
                    mask_args: tuple[np.ndarray, ...] = (),
                    band: int | None = None, dtype=jnp.uint8,
-                   raw_window: bool = False, fused_channels: bool = False):
+                   raw_window: bool = False, fused_channels: bool = False,
+                   batch: int = 0):
     """Shared skeleton: double-buffered band DMA, then
     body(x, out_ref, *mask_refs) where x is a (band + 2*hy, Wp) halo window;
     bodies slice rows [k, k + band) for tap k in [0, 2*hy].
 
     fused_channels=True: grid over bands only; each step DMAs ALL C
-    channels of the band window, body gets x of shape (C, band + 2*hy, Wp)
-    and an out_ref block of (C, band, Wp) — for cross-channel bodies
-    (grayscale-leading chains, models/chain.py). Same DMA invariants.
+    channels of the band window and the body's signature changes to
+    body(x, write, *mask_refs) with x of shape (C, band + 2*hy, Wp) and
+    write(ch, row_slice, val) storing into the (C, band, Wp) output block
+    — for cross-channel bodies (the flagship pipeline, grayscale-leading
+    chains). batch=B additionally prepends a batch grid axis over a
+    (B, C, Hp, Wp) stack, one image per grid row — the serving path
+    (jax.vmap cannot batch the ANY-memory-space input ref, so batching is
+    a grid axis; models/pipeline.py). Same DMA invariants everywhere.
 
     SHAPE-PRESERVING (round 2): output has the SAME padded (Hp, Wp) shape
     and coordinates as the input — out row j holds the op result for padded
@@ -85,9 +91,11 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         # Per-op override for VMEM-heavy bodies: must preserve the DMA
         # window invariants (8-row tiles, in-bounds within padded_height).
         assert band % 8 == 0 and layout.banded_height % band == 0
+    assert not (batch and not fused_channels), "batch needs fused_channels"
     blen = band + image_mod.DMA_SLACK
     nb = layout.banded_height // band
-    total = nb if fused_channels else c * nb
+    nbatch = max(batch, 1)
+    total = nbatch * nb if fused_channels else c * nb
     assert hy <= 8 and layout.pad_y >= hy
     assert hp >= layout.banded_height + 8  # last band's window tail
     n_mask = len(mask_args)
@@ -98,7 +106,10 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
         mask_refs = refs[1:1 + n_mask]
         out_ref = refs[1 + n_mask]
         x_vmem, sem = refs[2 + n_mask:]
-        if fused_channels:
+        if fused_channels and batch:
+            bi, i = pl.program_id(0), pl.program_id(1)
+            step = bi * nb + i
+        elif fused_channels:
             i = pl.program_id(0)
             step = i
         else:
@@ -107,8 +118,11 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
             step = ch * nb + i
 
         def src(cc, rows):
-            return (in_hbm.at[:, rows, :] if fused_channels
-                    else in_hbm.at[cc, rows, :])
+            if fused_channels and batch:
+                return in_hbm.at[cc, :, rows, :]  # cc = batch index
+            if fused_channels:
+                return in_hbm.at[:, rows, :]
+            return in_hbm.at[cc, rows, :]
 
         def dst0(slot):
             return (x_vmem.at[slot, :, pl.ds(8, blen - 8)] if fused_channels
@@ -125,8 +139,15 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
                 src(cc, pl.ds(pl.multiple_of(ii * band - 8, 8), blen)),
                 x_vmem.at[slot], sem.at[slot])
 
+        def step_cc(ss):
+            # the DMA's major index: batch image (fused+batch), nothing
+            # (fused single), or channel (per-channel mode)
+            if fused_channels and batch:
+                return ss // nb
+            return 0 if fused_channels else ss // nb
+
         def start(slot, ss):
-            cc, ii = (0, ss) if fused_channels else (ss // nb, ss % nb)
+            cc, ii = step_cc(ss), ss % nb
 
             @pl.when(ii == 0)
             def _():
@@ -146,11 +167,11 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
 
         @pl.when(i == 0)
         def _():
-            dma0(step % 2, 0 if fused_channels else ch).wait()
+            dma0(step % 2, step_cc(step)).wait()
 
         @pl.when(i > 0)
         def _():
-            dma(step % 2, 0 if fused_channels else ch, i).wait()
+            dma(step % 2, step_cc(step), i).wait()
 
         if raw_window:
             # Body gets the full (blen, Wp) window (4-row-packing aligned
@@ -159,7 +180,14 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
             body(x_vmem[step % 2], out_ref, *mask_refs)
         elif fused_channels:
             x = x_vmem[step % 2][:, base:base + band + 2 * hy]
-            body(x, out_ref, *mask_refs)
+
+            if batch:
+                def write(chn, sl, val):
+                    out_ref[0, chn, sl] = val
+            else:
+                def write(chn, sl, val):
+                    out_ref[chn, sl] = val
+            body(x, write, *mask_refs)
         else:
             # Slice the window down to exactly band + 2*hy rows so bodies
             # index taps as [k : k + band] for k in [0, 2*hy].
@@ -168,15 +196,24 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_mask
-    if fused_channels:
+    if fused_channels and batch:
+        grid = (batch, nb)
+        out_specs = pl.BlockSpec((1, c, band, wp),
+                                 lambda bi, i: (bi, 0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((batch, c, hp, wp), dtype)
+        scratch = pltpu.VMEM((2, c, blen, wp), dtype)
+    elif fused_channels:
         grid = (nb,)
         out_specs = pl.BlockSpec((c, band, wp), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
         scratch = pltpu.VMEM((2, c, blen, wp), dtype)
     else:
         grid = (c, nb)
         out_specs = pl.BlockSpec((1, band, wp), lambda ch, i: (ch, i, 0),
                                  memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((c, hp, wp), dtype)
         scratch = pltpu.VMEM((2, blen, wp), dtype)
 
     @jax.jit
@@ -186,7 +223,7 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
+            out_shape=out_shape,
             scratch_shapes=[scratch,
                             pltpu.SemaphoreType.DMA((2,))],
             interpret=interpret_mode(),
