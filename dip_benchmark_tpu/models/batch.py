@@ -21,11 +21,21 @@ from ..utils.image import is_image_file, load_image, save_image
 
 
 @functools.lru_cache(maxsize=None)
-def batch_op(csv_column: str):
+def batch_op(csv_column):
     """Jitted (B, H, W, C) uint8 -> (B, H, W, C) op (X-path, vmapped).
-    Cached: jax.jit's compile cache is keyed by function identity, so a
-    fresh wrapper per directory chunk would retrace+recompile every chunk
-    — synchronous host work that would defeat the dispatch/fetch overlap."""
+    A tuple of columns composes the ops sequentially in one jitted program
+    (XLA fuses the chain). Cached: jax.jit's compile cache is keyed by
+    function identity, so a fresh wrapper per directory chunk would
+    retrace+recompile every chunk — synchronous host work that would
+    defeat the dispatch/fetch overlap."""
+    if isinstance(csv_column, tuple):
+        fns = [xla.IMAGE_OPS[c] for c in csv_column]
+
+        def chain_fn(im):
+            for f in fns:
+                im = f(im)
+            return im
+        return jax.jit(jax.vmap(chain_fn))
     fn = xla.IMAGE_OPS[csv_column]
     return jax.jit(jax.vmap(fn))
 
@@ -39,12 +49,33 @@ def _batched_pipeline(layout, b: int):
     return make_fused_pipeline_pallas(layout, batch=b)
 
 
-def _dispatch_batch(images: np.ndarray, csv_column: str,
+@functools.lru_cache(maxsize=None)
+def _batched_chain(layout, cols: tuple[str, ...], b: int):
+    from .chain import make_fused_chain
+    return make_fused_chain(layout, list(cols), batch=b)
+
+
+def _dispatch_batch(images: np.ndarray, csv_column,
                     mesh: jax.sharding.Mesh | None):
     """Enqueue one batch asynchronously; returns an opaque token for
     _fetch_batch. JAX dispatch is async, so the caller can overlap host
     work (fetch/encode of the previous batch, decode of the next) with
-    this batch's device execution."""
+    this batch's device execution. csv_column may be a LIST of columns:
+    the whole op chain then runs as one batched fused kernel
+    (models/chain.py) — single dispatch, single HBM round-trip per image."""
+    if isinstance(csv_column, (list, tuple)) and mesh is None:
+        from .chain import chain_radius
+        from ..utils.image import make_layout, to_planar_padded
+        cols = tuple(csv_column)
+        b, h, w, _ = images.shape
+        r = max(chain_radius(list(cols)))
+        if r > 8:
+            raise ValueError(f"chain radius {r} exceeds the banded DMA "
+                             f"window bound (8); shorten the chain")
+        layout = make_layout(h, w, halo=max(2, r))
+        stack = np.stack([to_planar_padded(im, layout) for im in images])
+        out = _batched_chain(layout, cols, b)(jax.device_put(stack))
+        return ("pallas", layout, (h, w), out)
     if csv_column == "Fused-Pipeline" and mesh is None:
         # Natively batched Pallas kernel (leading batch grid dim, ~79
         # us/image on a v5e vs the ~1.3 ms vmapped X-path pipeline — XLA
@@ -55,6 +86,8 @@ def _dispatch_batch(images: np.ndarray, csv_column: str,
         stack = np.stack([to_planar_padded(im, layout) for im in images])
         out = _batched_pipeline(layout, b)(jax.device_put(stack))
         return ("pallas", layout, (h, w), out)
+    if isinstance(csv_column, (list, tuple)):
+        csv_column = tuple(csv_column)  # sharded chain: vmapped X-path
     op = batch_op(csv_column)
     x = images
     if mesh is not None:
@@ -78,11 +111,12 @@ def _fetch_batch(token) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
 
 
-def process_batch(images: np.ndarray, csv_column: str = "Fused-Pipeline",
+def process_batch(images: np.ndarray, csv_column="Fused-Pipeline",
                   mesh: jax.sharding.Mesh | None = None) -> np.ndarray:
-    """Run one op over a uint8 (B, H, W, C) stack; optionally shard the
-    batch dim over mesh axis 'data'. Single-device Fused-Pipeline takes
-    the batched Pallas kernel; everything else is the vmapped X-path."""
+    """Run one op — or, given a LIST of columns, a fused op chain — over a
+    uint8 (B, H, W, C) stack; optionally shard the batch dim over mesh
+    axis 'data'. Single-device Fused-Pipeline and chains take batched
+    Pallas kernels; everything else is the vmapped X-path."""
     return _fetch_batch(_dispatch_batch(images, csv_column, mesh))
 
 
@@ -137,10 +171,14 @@ def main(argv: list[str] | None = None) -> int:
     cols = [c for c in spec.CSV_COLUMNS if c not in ("Upload", "Download")]
     cols.append("Fused-Pipeline")
     p = argparse.ArgumentParser(
-        description="Batch-apply a DIP op to every image in a directory")
+        description="Batch-apply a DIP op (or a fused op chain) to every "
+                    "image in a directory")
     p.add_argument("indir")
     p.add_argument("outdir")
-    p.add_argument("--op", choices=cols, default="Fused-Pipeline")
+    p.add_argument("--op", default="Fused-Pipeline", metavar="OP[,OP...]",
+                   help=f"one of {', '.join(cols)}, or a comma-separated "
+                        "chain of device ops fused into one batched kernel "
+                        "(models/chain.py rules apply)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--backend", choices=["tpu", "cpu", "any"], default="any",
                    help="Device backend gate (cpu forces the host platform "
@@ -153,7 +191,20 @@ def main(argv: list[str] | None = None) -> int:
     except DeviceGateError as e:
         print(str(e), file=sys.stderr)
         return 4
-    written = process_directory(args.indir, args.outdir, args.op,
+    op = args.op
+    if "," in op:
+        op = [c.strip() for c in op.split(",") if c.strip()]
+        try:  # validate the chain up front (fusability, radius, order)
+            from .chain import chain_radius
+            chain_radius(op)
+        except (ValueError, AssertionError) as e:
+            print(f"--op chain: {e}", file=sys.stderr)
+            return 2
+    elif op not in cols:
+        print(f"--op must be one of {cols} or a comma-separated chain",
+              file=sys.stderr)
+        return 2
+    written = process_directory(args.indir, args.outdir, op,
                                 args.batch_size)
     print(f"Processed {len(written)} images -> {args.outdir}")
     return 0

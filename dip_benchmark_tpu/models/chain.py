@@ -221,11 +221,16 @@ def chain_radius(cols: list[str]) -> tuple[int, int]:
     return sum(s.ry for s in stages), sum(s.rx for s in stages)
 
 
-def make_fused_chain(layout: PlanarLayout, cols: list[str]):
+def make_fused_chain(layout: PlanarLayout, cols: list[str],
+                     batch: int = 0):
     """One Pallas kernel applying `cols` in order over the planar padded
     image; shape-preserving (C, Hp, Wp) -> (C, Hp, Wp) like every windowed
     op. cols may start with "Grayscale" (cross-channel; handled by the
-    flagship-pipeline-style 3-channel kernel)."""
+    flagship-pipeline-style 3-channel kernel). batch=B serves a
+    (B, C, Hp, Wp) stack in one dispatch (leading batch grid axis, the
+    models/pipeline.py serving scheme); per-channel chains then run
+    channel-looped inside the fused-channels body — same total work,
+    batched dispatch."""
     gray_first, stages = _chain_stages(cols)
     hy = sum(s.ry for s in stages)
     hx = sum(s.rx for s in stages)
@@ -269,16 +274,21 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str]):
         w_rows = ph + 2 * hy
         return v[0:w_rows] + (v[ph:ph + w_rows] << 16)
 
-    if not gray_first:
+    def chan_packed(xc):
+        # one channel's window rows -> packed chain -> (lo, hi) u8 halves
+        w_rows = ph + 2 * hy
+        lo = xc[0:w_rows, :].astype(jnp.int32)
+        hi = xc[ph:ph + w_rows, :].astype(jnp.int32)
+        p = run_stages_packed(lo + (hi << 16))
+        return p.astype(jnp.uint8), jax.lax.shift_right_logical(
+            p, 16).astype(jnp.uint8)
+
+    if not gray_first and not batch:
         if packed:
             def body(x_vmem, out_ref, *_):
-                w_rows = ph + 2 * hy
-                lo = x_vmem[0:w_rows, :].astype(jnp.int32)
-                hi = x_vmem[ph:ph + w_rows, :].astype(jnp.int32)
-                p = run_stages_packed(lo + (hi << 16))
-                out_ref[0, 0:ph] = p.astype(jnp.uint8)
-                out_ref[0, ph:band] = jax.lax.shift_right_logical(
-                    p, 16).astype(jnp.uint8)
+                lo, hi = chan_packed(x_vmem)
+                out_ref[0, 0:ph] = lo
+                out_ref[0, ph:band] = hi
         else:
             def body(x_vmem, out_ref, *_):
                 v = x_vmem[:, :].astype(jnp.int32)
@@ -286,18 +296,36 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str]):
 
         return _windowed_call(layout, hy, body)
 
+    if not gray_first:
+        # Batched per-channel chain: fused-channels body, channels looped
+        # in-kernel (same total work as the per-channel grid).
+        if packed:
+            def body(x, write, *_):
+                for ch in range(layout.channels):
+                    lo, hi = chan_packed(x[ch])
+                    write(ch, slice(0, ph), lo)
+                    write(ch, slice(ph, band), hi)
+        else:
+            def body(x, write, *_):
+                for ch in range(layout.channels):
+                    v = x[ch].astype(jnp.int32)
+                    write(ch, slice(None), run_stages(v).astype(jnp.uint8))
+        return _windowed_call(layout, hy, body, fused_channels=True,
+                              batch=batch)
+
     # Grayscale-first: 3-channel window, luma once, single-plane chain,
     # replicate at the store (the dedicated 3-channel kernel below).
     if packed:
         def run_from_luma(luma):  # (band + 2*hy, :) i32, u8-valued
             return run_stages_packed(pack(luma))
         return _make_gray_chain(layout, hy, run_from_luma,
-                                packed_store=(ph, band))
-    return _make_gray_chain(layout, hy, run_stages)
+                                packed_store=(ph, band), batch=batch)
+    return _make_gray_chain(layout, hy, run_stages, batch=batch)
 
 
 def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
-                     packed_store: tuple[int, int] | None = None):
+                     packed_store: tuple[int, int] | None = None,
+                     batch: int = 0):
     """Cross-channel kernel via _windowed_call(fused_channels=True): DMA
     all 3 channels of the band window, compute the exact fixed-point luma,
     run the remaining stages once on the luma plane, write it to all 3
@@ -324,4 +352,5 @@ def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
             for ch in range(3):
                 write(ch, slice(None), out)
 
-    return _windowed_call(layout, hy, body, fused_channels=True)
+    return _windowed_call(layout, hy, body, fused_channels=True,
+                          batch=batch)

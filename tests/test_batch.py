@@ -83,6 +83,49 @@ def test_process_directory_mixed_shapes(rng, tmp_path):
         np.testing.assert_array_equal(got, oracle.threshold(img))
 
 
+def test_process_batch_chain_matches_sequential_oracle(rng):
+    """A LIST op runs the batched fused-chain kernel; outputs must match
+    applying the oracle ops sequentially per image."""
+    cols = ["Grayscale", "Threshold", "Convolution-3x3"]
+    imgs = rng.integers(0, 256, size=(3, 24, 40, 3), dtype=np.uint8)
+    out = batch.process_batch(imgs, cols)
+    for i in range(3):
+        want = imgs[i]
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_process_batch_chain_deep_halo(rng):
+    """A radius-4 chain gets its deeper-halo layout automatically."""
+    cols = ["Convolution-5x5", "Convolution-5x5"]
+    imgs = rng.integers(0, 256, size=(2, 24, 40, 3), dtype=np.uint8)
+    out = batch.process_batch(imgs, cols)
+    for i in range(2):
+        want = imgs[i]
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_process_directory_chain_op(rng, tmp_path):
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    imgs = {}
+    for i in range(3):
+        img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        save_image(str(indir / f"img{i}.png"), img)
+        imgs[f"img{i}.png"] = img
+    cols = ["Inversion", "Erosion-3x3-Square"]
+    written = batch.process_directory(str(indir), str(outdir), cols,
+                                      batch_size=2)
+    assert len(written) == 3
+    for name, img in imgs.items():
+        want = oracle.IMAGE_OPS["Erosion-3x3-Square"](
+            oracle.IMAGE_OPS["Inversion"](img))
+        np.testing.assert_array_equal(load_image(str(outdir / name)), want)
+
+
 def test_process_directory_overlaps_dispatch_and_fetch(rng, tmp_path,
                                                       monkeypatch):
     """The serving overlap: chunk N+1 must be DISPATCHED before chunk N is
