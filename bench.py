@@ -196,14 +196,18 @@ def main() -> int:
         for col, t in session.execution_table(include_pipeline=True,
                                               k1=100, k2=900, samples=5):
             # The marginal clamps to 0.0 when relay jitter swamps a cheap
-            # op's K2-K1 delta (exec_timing.py); report it as unresolved
-            # and keep it out of ratios/geomeans rather than dividing by it.
-            exec_us[col] = round(t * 1e6, 1)
-            if col in ops_json:
-                ops_json[col]["exec_us"] = exec_us[col]
+            # op's K2-K1 delta (exec_timing.py); treat anything that
+            # ROUNDS to 0.0 us as unresolved — omitted from the JSON and
+            # from ratios/geomeans — so stderr and JSON always agree.
+            us = round(t * 1e6, 1)
             base = CUDA_BASELINE_S.get(col)
-            vs = (f", {base / t:6.2f}x vs CUDA ref" if base and t > 0
-                  else (", unresolved (jitter > marginal)" if t <= 0 else ""))
+            if us > 0:
+                exec_us[col] = us
+                if col in ops_json:
+                    ops_json[col]["exec_us"] = us
+                vs = f", {base / t:6.2f}x vs CUDA ref" if base else ""
+            else:
+                vs = ", unresolved (jitter > marginal)"
             print(f"  {col:28s} {t * 1e6:10.1f} us exec{vs}",
                   file=sys.stderr)
 

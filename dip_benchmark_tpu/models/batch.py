@@ -63,29 +63,24 @@ def _dispatch_batch(images: np.ndarray, csv_column,
     this batch's device execution. csv_column may be a LIST of columns:
     the whole op chain then runs as one batched fused kernel
     (models/chain.py) — single dispatch, single HBM round-trip per image."""
-    if isinstance(csv_column, (list, tuple)) and mesh is None:
-        from .chain import chain_radius
-        from ..utils.image import make_layout, to_planar_padded
-        cols = tuple(csv_column)
-        b, h, w, _ = images.shape
-        r = max(chain_radius(list(cols)))
-        if r > 8:
-            raise ValueError(f"chain radius {r} exceeds the banded DMA "
-                             f"window bound (8); shorten the chain")
-        layout = make_layout(h, w, halo=max(2, r))
-        stack = np.stack([to_planar_padded(im, layout) for im in images])
-        out = _batched_chain(layout, cols, b)(jax.device_put(stack))
-        return ("pallas", layout, (h, w), out)
-    if csv_column == "Fused-Pipeline" and mesh is None:
-        # Natively batched Pallas kernel (leading batch grid dim, ~79
+    if mesh is None and (isinstance(csv_column, (list, tuple))
+                         or csv_column == "Fused-Pipeline"):
+        # Natively batched Pallas kernel (leading batch grid dim, ~79-100
         # us/image on a v5e vs the ~1.3 ms vmapped X-path pipeline — XLA
         # cannot fuse across the HWC layout's channel axis, see ops/xla.py).
         from ..utils.image import make_layout, to_planar_padded
         b, h, w, _ = images.shape
-        layout = make_layout(h, w)
+        if isinstance(csv_column, (list, tuple)):
+            from .chain import check_chain
+            cols = tuple(csv_column)
+            halo = max(2, max(check_chain(list(cols))))
+            layout = make_layout(h, w, halo=halo)
+            kernel = _batched_chain(layout, cols, b)
+        else:
+            layout = make_layout(h, w)
+            kernel = _batched_pipeline(layout, b)
         stack = np.stack([to_planar_padded(im, layout) for im in images])
-        out = _batched_pipeline(layout, b)(jax.device_put(stack))
-        return ("pallas", layout, (h, w), out)
+        return ("pallas", layout, (h, w), kernel(jax.device_put(stack)))
     if isinstance(csv_column, (list, tuple)):
         csv_column = tuple(csv_column)  # sharded chain: vmapped X-path
     op = batch_op(csv_column)
@@ -121,7 +116,7 @@ def process_batch(images: np.ndarray, csv_column="Fused-Pipeline",
 
 
 def process_directory(indir: str, outdir: str,
-                      csv_column: str = "Fused-Pipeline",
+                      csv_column="Fused-Pipeline",
                       batch_size: int = 8) -> list[str]:
     """Process every image in `indir`, grouping same-shaped images into
     batched dispatches. Returns the written paths.
@@ -194,9 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     op = args.op
     if "," in op:
         op = [c.strip() for c in op.split(",") if c.strip()]
-        try:  # validate the chain up front (fusability, radius, order)
-            from .chain import chain_radius
-            chain_radius(op)
+        try:  # validate the chain up front (fusability, order, radius)
+            from .chain import check_chain
+            check_chain(op)
         except (ValueError, AssertionError) as e:
             print(f"--op chain: {e}", file=sys.stderr)
             return 2

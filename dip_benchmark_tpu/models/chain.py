@@ -221,6 +221,22 @@ def chain_radius(cols: list[str]) -> tuple[int, int]:
     return sum(s.ry for s in stages), sum(s.rx for s in stages)
 
 
+def check_chain(cols: list[str]) -> tuple[int, int]:
+    """Full up-front validation: fusability and stage order (via
+    chain_radius/_chain_stages) plus the banded-DMA-window radius bound —
+    the deepest halo any layout can carry (DMA_SLACK rows of window
+    overreach, split across both sides). Raises ValueError/AssertionError
+    with a descriptive message; returns (ry, rx)."""
+    from ..utils import image as image_util
+    ry, rx = chain_radius(cols)
+    bound = image_util.DMA_SLACK // 2
+    if max(ry, rx) > bound:
+        raise ValueError(
+            f"chain radius (ry={ry}, rx={rx}) exceeds the banded DMA "
+            f"window bound ({bound}); shorten the chain")
+    return ry, rx
+
+
 def make_fused_chain(layout: PlanarLayout, cols: list[str],
                      batch: int = 0):
     """One Pallas kernel applying `cols` in order over the planar padded

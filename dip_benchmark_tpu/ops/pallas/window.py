@@ -140,11 +140,9 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
                 x_vmem.at[slot], sem.at[slot])
 
         def step_cc(ss):
-            # the DMA's major index: batch image (fused+batch), nothing
-            # (fused single), or channel (per-channel mode)
-            if fused_channels and batch:
-                return ss // nb
-            return 0 if fused_channels else ss // nb
+            # the DMA's major index: batch image (fused+batch), channel
+            # (per-channel mode), or nothing (fused single-image)
+            return 0 if (fused_channels and not batch) else ss // nb
 
         def start(slot, ss):
             cc, ii = step_cc(ss), ss % nb

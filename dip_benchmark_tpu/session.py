@@ -282,13 +282,8 @@ class BenchmarkSession:
                 "fused chains need --path pallas --dtype uint8")
         from .models import chain as chain_model
         from .utils.image import from_planar_padded
-        ry, rx = chain_model.chain_radius(cols)
+        ry, rx = chain_model.check_chain(cols)
         r = max(ry, rx)
-        if r > image_util.DMA_SLACK // 2:
-            raise ValueError(
-                f"chain radius (ry={ry}, rx={rx}) exceeds the banded DMA "
-                f"window bound ({image_util.DMA_SLACK // 2}); shorten the "
-                f"chain")
         if r <= self.layout.pad_y:
             layout, planar = self.layout, self.planar_dev
         else:
