@@ -108,6 +108,36 @@ def test_cli_fuse_row(small_image, tmp_path):
     assert "Grayscale" in bad.stderr
 
 
+def test_chain_fuzz_random_sequences(rng):
+    """Fuzz: random op sequences (random length/ops, optional leading
+    Grayscale, radius-bounded) must match sequential oracle application —
+    exercises arbitrary packed/i32-island/gray-first compositions the
+    fixed CHAINS list misses. Seeded via the shared rng fixture."""
+    from dip_benchmark_tpu.models.chain import chain_radius
+
+    pool = ["Copy", "Inversion", "Threshold", "Erosion-3x3-Cross",
+            "Erosion-3x3-Square", "Erosion-1x3+3x1-Square",
+            "Convolution-3x3", "Convolution-1x3+3x1", "Convolution-5x5",
+            "Convolution-1x5+5x1", "Gaussian-Blur-3x3"]
+    image = rng.integers(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    tested = 0
+    for trial in range(40):
+        n = int(rng.integers(1, 6))
+        cols = [pool[int(i)] for i in rng.integers(0, len(pool), size=n)]
+        if rng.integers(0, 2):
+            cols = ["Grayscale"] + cols
+        ry, rx = chain_radius(cols)
+        if max(ry, rx) > 8:
+            continue
+        tested += 1
+        np.testing.assert_array_equal(
+            run_chain(cols, image, halo=max(2, ry, rx)),
+            sequential(cols, image), err_msg=f"chain {cols}")
+        if tested >= 12:  # bound suite time; 12 random chains per run
+            break
+    assert tested >= 8
+
+
 def test_chain_max_radius_composes(small_image):
     """Total radius exactly at the DMA-window budget (8): four 5x5 convs
     on a halo=8 layout."""
