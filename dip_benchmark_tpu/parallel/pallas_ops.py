@@ -87,6 +87,54 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
     return {col: lift(col) for col in local}, layout
 
 
+def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
+                         width: int,
+                         axis: str = "space") -> tuple[jax.Array, PlanarLayout]:
+    """A GENERIC fused op chain (models/chain.py) sharded over the mesh's
+    `axis`: rows shard, `lax.ppermute` exchanges a halo sized to the
+    CHAIN's total radius (not just one op's), and each shard runs the
+    whole chain as ONE kernel — multi-chip scale-out of --fuse. Bit-exact
+    vs the single-device chain: the exchanged halo rows are the
+    neighbor's real rows, so every stage's halo outputs equal the
+    neighbor's interior computation, and the global mirror rule applies
+    only on edge shards (the models/chain.py induction argument).
+
+    Input/output: (C, height, Wp) uint8 row-sharded on `axis`, with
+    mirror COLUMNS baked at the returned layout's pad_x (bake with
+    bake_mirror_cols(..., layout)). height must divide the axis size and
+    each shard must be taller than the chain radius."""
+    from ..models.chain import check_chain, make_fused_chain
+
+    n = mesh.shape[axis]
+    assert height % n == 0, (
+        f"the {n}-shard axis must divide height {height}")
+    h_loc = height // n
+    ry, rx = check_chain(cols)
+    halo = max(2, ry, rx)
+    layout = make_layout(h_loc, width, halo=halo,
+                         band=min(112, round_up(max(h_loc, 1), 8)))
+    if h_loc < layout.pad_y + 1:
+        raise ValueError(
+            f"shards of {h_loc} rows are too small for a radius-{halo} "
+            f"chain's halo exchange (need >= {layout.pad_y + 1}); use "
+            f"fewer devices or a shorter chain")
+    hp = layout.padded_height
+    op = make_fused_chain(layout, cols)
+
+    def body(x):  # x: (C, h_loc, Wp) local shard
+        x = exchange_row_halo(x, layout.pad_y, axis)
+        buf = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, 0)))
+        out = op(buf)
+        return out[:, layout.pad_y:layout.pad_y + h_loc]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None),
+        check_vma=False))
+    return fn, layout
+
+
 def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
                             data_axis: str = "data",
                             space_axis: str = "space"):
