@@ -171,9 +171,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         table = session.operations(include_pipeline=args.pipeline)
     if args.fuse:
-        if args.chained or args.shards:
-            print("--fuse is incompatible with --chained/--shards",
-                  file=sys.stderr)
+        if args.chained:
+            print("--fuse is incompatible with --chained", file=sys.stderr)
             return 2
         try:
             table.append(session.chain_operation(

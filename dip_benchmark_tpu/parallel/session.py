@@ -81,6 +81,7 @@ class ShardedBenchmarkSession:
             raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
         self.planar_dev = _sync(jax.device_put(dev_buf, self.sharding))
         self._sample = None
+        self._extra_oracles: dict = {}
         if self.layout is not None:
             # Jit the device-side crop ONCE: building it inside _download
             # would pay a retrace per round inside the timed Download loop.
@@ -146,10 +147,72 @@ class ShardedBenchmarkSession:
                 self._make_run(self._ops["Fused-Pipeline"]), self._fetch))
         return ops
 
+    def chain_operation(self, cols: list[str]) -> Operation:
+        """--fuse row for the sharded session (pallas path only): the
+        chain runs via sharded_pallas_chain — one fused kernel per shard,
+        ppermute halo sized to the chain's total radius. The chain gets
+        its OWN row padding (untimed session state): the bottom shard's
+        halo-exchange mirror reflects the PADDED edge, so baked mirror
+        rows must cover the chain's vertical radius (the session's
+        'pad >= 2' rule generalized to pad >= ry, or pad == 0 where the
+        padded edge IS the true image edge)."""
+        if self.path != "pallas":
+            raise ValueError("--fuse with --shards needs --path pallas")
+        from ..models.chain import check_chain
+        from ..utils.image import bake_mirror_cols
+        from .pallas_ops import sharded_pallas_chain
+
+        ry, _ = check_chain(cols)
+        n = self.mesh.shape["space"]
+        h = self.valid_height
+        base = self.host_planar[:, :h]
+        need = max(ry, 2)
+        pad = (-h) % n
+        # grow until (a) baked mirror rows cover the chain's vertical
+        # radius (or the padded edge IS the true edge) and (b) shards are
+        # tall enough for the radius-`need` halo exchange
+        while (0 < pad < need) or (h + pad) // n < need + 1:
+            pad += n
+        if pad > h:
+            raise ValueError(
+                f"image of {h} rows is too small for a radius-{ry} chain "
+                f"over {n} shards")
+        planar = (base if pad == 0 else np.concatenate(
+            [base, base[:, h - pad:][:, ::-1]], axis=1))
+        fn, layout = sharded_pallas_chain(self.mesh, cols,
+                                          planar.shape[1], self.width)
+        dev = _sync(jax.device_put(bake_mirror_cols(planar, layout),
+                                   self.sharding))
+        op = AotOp(fn) if hasattr(fn, "lower") else fn
+
+        def run():
+            self._sample = _sync(op(dev))
+
+        def fetch():
+            arr = np.asarray(self._sample)[:, :h]
+            arr = arr[:, :, layout.pad_x:layout.pad_x + self.width]
+            return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+
+        def seq_oracle(im, _cols=tuple(cols)):
+            from .. import oracle
+            for c in _cols:
+                im = oracle.IMAGE_OPS[c](im)
+            return im
+
+        self._extra_oracles["Fused-Chain"] = seq_oracle
+        desc = "Fused Chain (" + "+".join(
+            c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
+            for c in cols) + ")"
+        return Operation(desc, "chain", "Fused-Chain", run, fetch)
+
     @property
     def verify_atol(self) -> int:
         return 0  # uint8 model: bit-exact contract
 
     def oracle_ops(self) -> dict:
         from .. import native, oracle
-        return native.image_ops() if native.available() else oracle.IMAGE_OPS
+        base = (native.image_ops() if native.available()
+                else oracle.IMAGE_OPS)
+        if self._extra_oracles:
+            base = {**base, **self._extra_oracles}
+        return base

@@ -120,3 +120,26 @@ def test_sharded_pallas_chain_rejects_thin_shards():
         # radius-4 chain on 4-row shards (needs >= 5)
         sharded_pallas_chain(mesh, ["Convolution-5x5", "Convolution-5x5"],
                              32, 44)
+
+
+def test_sharded_session_chain_operation(image):
+    """session.chain_operation on the sharded session: fused chain row
+    with chain-radius halo and its own row padding, verified vs the
+    sequential oracle (incl. a radius-3 chain whose vertical radius
+    exceeds the session's default pad)."""
+    session = ShardedBenchmarkSession(image, n_devices=8, path="pallas")
+    for cols in (["Grayscale", "Threshold", "Erosion-3x3-Square",
+                  "Gaussian-Blur-3x3"],
+                 ["Convolution-5x5", "Convolution-3x3"]):
+        op = session.chain_operation(cols)
+        op.run()
+        got = op.fetch()
+        want = image
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(got, want, err_msg=str(cols))
+    assert "Fused-Chain" in session.oracle_ops()
+
+    xla_session = ShardedBenchmarkSession(image, n_devices=8, path="xla")
+    with pytest.raises(ValueError, match="path pallas"):
+        xla_session.chain_operation(["Inversion"])
