@@ -256,6 +256,10 @@ class BenchmarkSession:
             t = execution_time(passthrough, src, banded=True,
                                k1=k1, k2=k2, samples=samples)
             rows.append(("Passthrough", t))
+        if getattr(self, "_chain_exec", None) is not None:
+            fn, planar = self._chain_exec
+            rows.append(("Fused-Chain", execution_time(
+                fn, planar, k1=k1, k2=k2, samples=samples)))
         return rows
 
     def pipeline_operation(self) -> Operation:
@@ -293,6 +297,9 @@ class BenchmarkSession:
                 image_util.to_planar_padded(self.host_image, layout),
                 self.device))
         fn = chain_model.make_fused_chain(layout, cols)
+        # expose to execution_table: chains are shape-preserving, so the
+        # chained-K marginal applies directly (on the chain's own planar)
+        self._chain_exec = (fn, planar)
         op = AotOp(fn)
 
         def run():
