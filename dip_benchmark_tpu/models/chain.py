@@ -221,6 +221,26 @@ def chain_radius(cols: list[str]) -> tuple[int, int]:
     return sum(s.ry for s in stages), sum(s.rx for s in stages)
 
 
+def chain_row_parts(cols: list[str]):
+    """(description, csv_column, sequential_oracle) for a benchmark-table
+    chain row — shared by the single-device and sharded sessions. The
+    csv_column embeds the chain spec so each chain row verifies against
+    ITS OWN sequential oracle (two chain rows in one table must not share
+    an oracle key); non-matrix columns are ignored by the CSV writer."""
+    desc = "Fused Chain (" + "+".join(
+        c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
+        for c in cols) + ")"
+    col = "Fused-Chain(" + "+".join(cols) + ")"
+
+    def seq_oracle(im, _cols=tuple(cols)):
+        from .. import oracle
+        for c in _cols:
+            im = oracle.IMAGE_OPS[c](im)
+        return im
+
+    return desc, col, seq_oracle
+
+
 def check_chain(cols: list[str]) -> tuple[int, int]:
     """Full up-front validation: fusability and stage order (via
     chain_radius/_chain_stages) plus the banded-DMA-window radius bound —

@@ -29,16 +29,19 @@ from ..utils.image import PlanarLayout, make_layout, round_up
 from .halo import exchange_row_halo
 
 
-def _shard_layout(h_loc: int, width: int) -> PlanarLayout:
+def _shard_layout(h_loc: int, width: int, halo: int | None = None,
+                  what: str = "halo exchange") -> PlanarLayout:
     """Per-shard layout. The band tracks the shard height (instead of the
     default 112) so windowed kernels don't compute up to a full band of
     discarded zero-padding rows per shard; and halo exchange needs at
-    least pad_y + 1 valid rows per shard to build its mirror rows."""
+    least pad_y + 1 valid rows per shard to build its mirror rows.
+    halo overrides the default op halo (chains need their total radius)."""
+    kw = {} if halo is None else {"halo": halo}
     layout = make_layout(h_loc, width,
-                         band=min(112, round_up(max(h_loc, 1), 8)))
+                         band=min(112, round_up(max(h_loc, 1), 8)), **kw)
     if h_loc < layout.pad_y + 1:
         raise ValueError(
-            f"shards of {h_loc} rows are too small for halo exchange "
+            f"shards of {h_loc} rows are too small for {what} "
             f"(need >= {layout.pad_y + 1}); use fewer devices")
     return layout
 
@@ -88,8 +91,7 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
 
 
 def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
-                         width: int,
-                         axis: str = "space") -> tuple[jax.Array, PlanarLayout]:
+                         width: int, axis: str = "space"):
     """A GENERIC fused op chain (models/chain.py) sharded over the mesh's
     `axis`: rows shard, `lax.ppermute` exchanges a halo sized to the
     CHAIN's total radius (not just one op's), and each shard runs the
@@ -111,21 +113,20 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     h_loc = height // n
     ry, rx = check_chain(cols)
     halo = max(2, ry, rx)
-    layout = make_layout(h_loc, width, halo=halo,
-                         band=min(112, round_up(max(h_loc, 1), 8)))
-    if h_loc < layout.pad_y + 1:
-        raise ValueError(
-            f"shards of {h_loc} rows are too small for a radius-{halo} "
-            f"chain's halo exchange (need >= {layout.pad_y + 1}); use "
-            f"fewer devices or a shorter chain")
+    layout = _shard_layout(h_loc, width, halo=halo,
+                           what=f"a radius-{halo} chain's halo exchange")
     hp = layout.padded_height
     op = make_fused_chain(layout, cols)
+    windowed = ry > 0  # point-only chains need no ICI halo (cf. lift())
 
     def body(x):  # x: (C, h_loc, Wp) local shard
-        x = exchange_row_halo(x, layout.pad_y, axis)
+        if windowed:
+            x = exchange_row_halo(x, layout.pad_y, axis)
         buf = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, 0)))
         out = op(buf)
-        return out[:, layout.pad_y:layout.pad_y + h_loc]
+        if windowed:
+            return out[:, layout.pad_y:layout.pad_y + h_loc]
+        return out[:, :h_loc]
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -162,11 +162,14 @@ class ShardedBenchmarkSession:
         from ..utils.image import bake_mirror_cols
         from .pallas_ops import sharded_pallas_chain
 
-        ry, _ = check_chain(cols)
+        ry, rx = check_chain(cols)
         n = self.mesh.shape["space"]
         h = self.valid_height
         base = self.host_planar[:, :h]
-        need = max(ry, 2)
+        # sharded_pallas_chain's layout halo is max(2, ry, rx); padding
+        # and shard-height growth must use the SAME bound or its
+        # thin-shard check can fire after we promised auto-padding
+        need = max(ry, rx, 2)
         pad = (-h) % n
         # grow until (a) baked mirror rows cover the chain's vertical
         # radius (or the padded edge IS the true edge) and (b) shards are
@@ -193,17 +196,10 @@ class ShardedBenchmarkSession:
             arr = arr[:, :, layout.pad_x:layout.pad_x + self.width]
             return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
 
-        def seq_oracle(im, _cols=tuple(cols)):
-            from .. import oracle
-            for c in _cols:
-                im = oracle.IMAGE_OPS[c](im)
-            return im
-
-        self._extra_oracles["Fused-Chain"] = seq_oracle
-        desc = "Fused Chain (" + "+".join(
-            c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
-            for c in cols) + ")"
-        return Operation(desc, "chain", "Fused-Chain", run, fetch)
+        from ..models.chain import chain_row_parts
+        desc, col, seq_oracle = chain_row_parts(cols)
+        self._extra_oracles[col] = seq_oracle
+        return Operation(desc, "chain", col, run, fetch)
 
     @property
     def verify_atol(self) -> int:

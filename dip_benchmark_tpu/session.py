@@ -64,6 +64,7 @@ class BenchmarkSession:
         self.device = device or jax.devices()[0]
         self._sample: jax.Array | None = None
         self._extra_oracles: dict = {}
+        self._chain_exec: tuple | None = None  # set by chain_operation
         if dtype not in ("uint8", "float32"):
             raise ValueError(f"Unknown dtype: {dtype!r}")
 
@@ -256,7 +257,7 @@ class BenchmarkSession:
             t = execution_time(passthrough, src, banded=True,
                                k1=k1, k2=k2, samples=samples)
             rows.append(("Passthrough", t))
-        if getattr(self, "_chain_exec", None) is not None:
+        if self._chain_exec is not None:
             fn, planar = self._chain_exec
             rows.append(("Fused-Chain", execution_time(
                 fn, planar, k1=k1, k2=k2, samples=samples)))
@@ -308,17 +309,9 @@ class BenchmarkSession:
         def fetch():
             return from_planar_padded(np.asarray(self._sample), layout)
 
-        def seq_oracle(im, _cols=tuple(cols)):
-            from . import oracle
-            for c in _cols:
-                im = oracle.IMAGE_OPS[c](im)
-            return im
-
-        self._extra_oracles["Fused-Chain"] = seq_oracle
-        desc = "Fused Chain (" + "+".join(
-            c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
-            for c in cols) + ")"
-        return Operation(desc, "chain", "Fused-Chain", run, fetch)
+        desc, col, seq_oracle = chain_model.chain_row_parts(cols)
+        self._extra_oracles[col] = seq_oracle
+        return Operation(desc, "chain", col, run, fetch)
 
     def _fetch_sample(self) -> np.ndarray:
         raise RuntimeError("memory ops produce no image")  # prefix == ""

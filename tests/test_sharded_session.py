@@ -138,7 +138,10 @@ def test_sharded_session_chain_operation(image):
         for c in cols:
             want = oracle.IMAGE_OPS[c](want)
         np.testing.assert_array_equal(got, want, err_msg=str(cols))
-    assert "Fused-Chain" in session.oracle_ops()
+    # each chain row verifies against its OWN oracle (spec-keyed)
+    assert any(k.startswith("Fused-Chain(") for k in session.oracle_ops())
+    assert sum(k.startswith("Fused-Chain(")
+               for k in session.oracle_ops()) == 2
 
     xla_session = ShardedBenchmarkSession(image, n_devices=8, path="xla")
     with pytest.raises(ValueError, match="path pallas"):
