@@ -203,8 +203,54 @@ def gaussian_blur_3x3(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def fused_pipeline(x: jnp.ndarray) -> jnp.ndarray:
-    """Flagship fused chain: grayscale -> threshold -> erode(3x3) -> blur."""
-    return gaussian_blur_3x3(erosion_square(threshold(grayscale(x))))
+    """Flagship fused chain: grayscale -> threshold -> erode(3x3) -> blur.
+
+    Flat-domain formulation (benchmarks/tuning/xla_pipe_lab.py): the four
+    stages stay on ONE flat (H, W*3) i32 view end to end — coef-rows luma
+    MAC, threshold in i32 (no narrow), erosion as separable mins over
+    taps (dy, 3*dx) (stride-3 column taps ARE per-channel taps), then the
+    separable 1-2-1 blur MAC with a single round + narrow. One mirror
+    halo (2 rows, 2 pixels as 3-byte blocks) serves both windowed stages
+    with the halo shrinking per stage. Composing the four standalone ops
+    instead costs 1.66x more (each op round-trips through uint8 HWC with
+    its own pad, which breaks XLA fusion; measured 3382 vs 2033 us).
+    Bit-exact vs the op-by-op oracle chain: threshold's {0, 255} output
+    held in i32, integer min/MAC, round-half-up once (the models/
+    pipeline.py argument)."""
+    h, w, c = x.shape
+    n = w * c
+    f = x.reshape(h, n)
+    # stages 1+2: coef-rows grayscale MAC -> threshold, i32 domain
+    p = jnp.pad(f, ((0, 0), (2, 2)))
+    wrgb = np.asarray(spec.GRAYSCALE_WEIGHTS_INT_RGB, dtype=np.int64)
+    ks = np.arange(n) % 3
+    acc = None
+    for d in (-2, -1, 0, 1, 2):
+        ch = ks + d
+        cd = np.where((ch >= 0) & (ch <= 2), wrgb[np.clip(ch, 0, 2)],
+                      0).astype(np.int32)
+        s = lax.slice(p, (0, 2 + d), (h, 2 + d + n)).astype(jnp.int32)
+        t = s * jnp.asarray(cd)[None, :]
+        acc = t if acc is None else acc + t
+    luma = acc >> spec.GRAYSCALE_SHIFT
+    v = jnp.where(luma > spec.THRESHOLD_VALUE, spec.THRESHOLD_MAX, 0)
+    # mirror halo for the two windowed stages: 2 rows, 2 pixel blocks
+    v = jnp.concatenate([v[1:3][::-1], v, v[-2:][::-1]], axis=0)
+    hp = v.shape[0]
+    left = v[:, 3:9].reshape(hp, 2, 3)[:, ::-1].reshape(hp, 6)
+    right = v[:, n - 6:n].reshape(hp, 2, 3)[:, ::-1].reshape(hp, 6)
+    v = jnp.concatenate([left, v, right], axis=1)  # (h+4, n+12)
+    # stage 3: erosion 3x3 square, separable min, taps (dy, 3*dx)
+    rows = h + 2  # keep 1 row + 1 pixel of halo for the blur
+    cm = jnp.minimum(jnp.minimum(v[0:rows], v[1:rows + 1]), v[2:rows + 2])
+    m = 6 + n
+    e = jnp.minimum(jnp.minimum(cm[:, 0:m], cm[:, 3:m + 3]),
+                    cm[:, 6:m + 6])  # (h+2, n+6)
+    # stage 4: specialized 1-2-1 blur, one round, one narrow
+    aux = e[0:h] + (e[1:h + 1] << 1) + e[2:h + 2]
+    o = aux[:, 0:n] + (aux[:, 3:n + 3] << 1) + aux[:, 6:n + 6]
+    y = (o + 8) >> 4
+    return y.astype(jnp.uint8).reshape(h, w, c)
 
 
 # CSV-column-keyed registry of the 12 on-device image ops (memory ops Upload/
