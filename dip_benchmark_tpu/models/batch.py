@@ -66,8 +66,8 @@ def _dispatch_batch(images: np.ndarray, csv_column,
     if mesh is None and (isinstance(csv_column, (list, tuple))
                          or csv_column == "Fused-Pipeline"):
         # Natively batched Pallas kernel (leading batch grid dim, ~79-100
-        # us/image on a v5e vs the ~1.3 ms vmapped X-path pipeline — XLA
-        # cannot fuse across the HWC layout's channel axis, see ops/xla.py).
+        # us/image on a v5e vs the ~2 ms vmapped X-path flat-domain
+        # pipeline — the interleaved HWC model's price, see ops/xla.py).
         from ..utils.image import make_layout, to_planar_padded
         b, h, w, _ = images.shape
         if isinstance(csv_column, (list, tuple)):
