@@ -25,6 +25,27 @@ def test_gate_missing_backend_fails_fast():
         require_device("tpu")  # conftest forces the CPU-only platform
 
 
+def test_gate_backend_shared_helper():
+    """gate_backend: the shared CLI entry gate (cpu platform override +
+    require_device) used by cli.py and the batch tool."""
+    from dip_benchmark_tpu.runtime import gate_backend
+    d = gate_backend("cpu")
+    assert d.platform == "cpu"
+    with pytest.raises(DeviceGateError):
+        gate_backend("tpu")
+
+
+def test_check_chain_validation():
+    from dip_benchmark_tpu.models.chain import check_chain
+    assert check_chain(["Convolution-5x5", "Convolution-3x3"]) == (3, 3)
+    with pytest.raises(ValueError, match="chain radius"):
+        check_chain(["Convolution-5x5"] * 5)  # ry = 10 > 8
+    with pytest.raises(AssertionError, match="Grayscale"):
+        check_chain(["Inversion", "Grayscale"])
+    with pytest.raises(ValueError, match="not fusable"):
+        check_chain(["Upload"])
+
+
 def test_gate_any():
     assert require_device("any") is jax.devices()[0]
     assert backend_name() == "cpu"
