@@ -204,10 +204,15 @@ def _stages_for(col: str) -> list[_Stage]:
 
 
 def _chain_stages(cols: list[str]) -> tuple[bool, list[_Stage]]:
-    assert cols, "empty chain"
+    # User-facing build-time validation raises ValueError (not assert:
+    # `python -O` strips asserts, and CLI callers rely on these firing).
+    if not cols:
+        raise ValueError("empty chain")
     gray_first = cols[0] == "Grayscale"
     rest = cols[1:] if gray_first else cols
-    assert "Grayscale" not in rest, "Grayscale only as the first stage"
+    if "Grayscale" in rest:
+        raise ValueError("Grayscale may appear only as the first stage "
+                         "of a fused chain (it is cross-channel)")
     stages: list[_Stage] = []
     for col in rest:
         stages.extend(_stages_for(col))
@@ -245,8 +250,8 @@ def check_chain(cols: list[str]) -> tuple[int, int]:
     """Full up-front validation: fusability and stage order (via
     chain_radius/_chain_stages) plus the banded-DMA-window radius bound —
     the deepest halo any layout can carry (DMA_SLACK rows of window
-    overreach, split across both sides). Raises ValueError/AssertionError
-    with a descriptive message; returns (ry, rx)."""
+    overreach, split across both sides). Raises ValueError with a
+    descriptive message; returns (ry, rx)."""
     from ..utils import image as image_util
     ry, rx = chain_radius(cols)
     bound = image_util.DMA_SLACK // 2
@@ -270,9 +275,10 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
     gray_first, stages = _chain_stages(cols)
     hy = sum(s.ry for s in stages)
     hx = sum(s.rx for s in stages)
-    assert hy <= layout.pad_y and hx <= layout.pad_x, (
-        f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
-        f"({layout.pad_y}); shorten the chain or enlarge the halo")
+    if hy > layout.pad_y or hx > layout.pad_x:
+        raise ValueError(
+            f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
+            f"({layout.pad_y}); shorten the chain or enlarge the halo")
     band = layout.band
     # Packed pays off when any MAC stage can run at 2 rows/lane; a stage
     # with no packed form (erosion) runs as an unpack -> per-half i32 ->

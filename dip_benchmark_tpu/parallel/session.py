@@ -178,8 +178,8 @@ class ShardedBenchmarkSession:
             pad += n
         if pad > h:
             raise ValueError(
-                f"image of {h} rows is too small for a radius-{ry} chain "
-                f"over {n} shards")
+                f"image of {h} rows is too small for a chain needing "
+                f"{need}-row halos (ry={ry}, rx={rx}) over {n} shards")
         planar = (base if pad == 0 else np.concatenate(
             [base, base[:, h - pad:][:, ::-1]], axis=1))
         fn, layout = sharded_pallas_chain(self.mesh, cols,
