@@ -80,7 +80,7 @@ def build_parser() -> ArgumentParser:
                              "into ONE kernel (models/chain.py): "
                              "comma-separated CSV column names, e.g. "
                              "'Grayscale,Threshold,Erosion-3x3-Square'. "
-                             "Pallas path + uint8 model only; Grayscale "
+                             "Pallas path (both data models); Grayscale "
                              "only first; total radius <= 8")
     parser.add_argument("--shards", type=int, default=0, metavar="N",
                         help="Run the op matrix row-sharded across N devices "
@@ -122,7 +122,9 @@ def build_parser() -> ArgumentParser:
                              "(chained-K marginal with forced completion; "
                              "see runtime/exec_timing.py — the repeated "
                              "column is a dispatch-rate number on relay "
-                             "rigs). No --shards/--chained")
+                             "rigs). Works with --shards (the marginal "
+                             "lifts over the shard_map programs). "
+                             "No --chained")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run")
     return parser
@@ -134,13 +136,8 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.exec_table and (args.shards or args.chained):
-        print("--exec is incompatible with --shards/--chained",
-              file=sys.stderr)
-        return 2
-    if args.shards and args.dtype != "uint8":
-        print("--shards supports the uint8 data model only",
-              file=sys.stderr)
+    if args.exec_table and args.chained:
+        print("--exec is incompatible with --chained", file=sys.stderr)
         return 2
 
     try:
@@ -154,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.shards:
         from .parallel.session import ShardedBenchmarkSession
         session = ShardedBenchmarkSession(image, n_devices=args.shards,
-                                          path=args.path)
+                                          path=args.path, dtype=args.dtype)
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)

@@ -55,6 +55,63 @@ def _batched_chain(layout, cols: tuple[str, ...], b: int):
     return make_fused_chain(layout, list(cols), batch=b)
 
 
+PIPELINE_COLS = ("Grayscale", "Threshold", "Erosion-3x3-Square",
+                 "Gaussian-Blur-3x3")  # the flagship pipeline as a chain
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_chain(mesh, cols: tuple[str, ...], height: int, width: int,
+                   batch: int):
+    """Cached (Mesh/PlanarLayout are hashable): the jitted 2-D-mesh
+    batched chain + its per-shard layout, one compile per geometry."""
+    from ..parallel.pallas_ops import sharded_pallas_chain
+    return sharded_pallas_chain(mesh, list(cols), height, width,
+                                batch=batch)
+
+
+def _dispatch_sharded_chain(images: np.ndarray, cols: tuple[str, ...],
+                            mesh: jax.sharding.Mesh):
+    """Batched fused chain over the FULL 2-D (data, space) mesh: batch
+    shards over 'data', image rows over 'space' with chain-radius halo
+    exchange, each shard running the batched chain kernel
+    (parallel/pallas_ops.sharded_pallas_chain(batch=...)). Rows are
+    mirror-padded so shards divide evenly and carry the chain's halo
+    (the parallel/session.py padding rule); the batch is padded to the
+    data-axis size by repeating the last image (cropped on fetch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .. import spec
+    from .chain import check_chain
+    b, h, w, _ = images.shape
+    n_space = mesh.shape["space"]
+    n_data = mesh.shape["data"]
+    ry, rx = check_chain(list(cols))
+    need = max(ry, rx, 2)
+    pad = (-h) % n_space
+    while (0 < pad < need) or (h + pad) // n_space < need + 1:
+        pad += n_space
+    if pad > h:
+        raise ValueError(
+            f"{h}-row images are too small for a chain needing {need}-row "
+            f"halos over {n_space} row shards")
+    bpad = (-b) % n_data
+    stack = images
+    if bpad:
+        stack = np.concatenate(
+            [stack, np.repeat(stack[-1:], bpad, axis=0)], axis=0)
+    if pad:
+        stack = np.concatenate(
+            [stack, stack[:, h - pad:][:, ::-1]], axis=1)
+    planar = np.transpose(stack, (0, 3, 1, 2))  # (Bp, C, Hs, W)
+    fn, layout = _sharded_chain(mesh, cols, h + pad, w, b + bpad)
+    xs = np.clip(spec.mirror_index(
+        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
+    baked = np.ascontiguousarray(planar[:, :, :, xs])
+    sharding = NamedSharding(mesh, P("data", None, "space", None))
+    out = fn(jax.device_put(baked, sharding))
+    return ("sharded", layout, (h, w, b), out)
+
+
 def _dispatch_batch(images: np.ndarray, csv_column,
                     mesh: jax.sharding.Mesh | None):
     """Enqueue one batch asynchronously; returns an opaque token for
@@ -62,7 +119,14 @@ def _dispatch_batch(images: np.ndarray, csv_column,
     work (fetch/encode of the previous batch, decode of the next) with
     this batch's device execution. csv_column may be a LIST of columns:
     the whole op chain then runs as one batched fused kernel
-    (models/chain.py) — single dispatch, single HBM round-trip per image."""
+    (models/chain.py) — single dispatch, single HBM round-trip per image.
+    With a 2-D mesh, chains (and the flagship pipeline, which IS the
+    PIPELINE_COLS chain) run sharded across chips."""
+    if mesh is not None and (isinstance(csv_column, (list, tuple))
+                             or csv_column == "Fused-Pipeline"):
+        cols = (PIPELINE_COLS if csv_column == "Fused-Pipeline"
+                else tuple(csv_column))
+        return _dispatch_sharded_chain(images, cols, mesh)
     if mesh is None and (isinstance(csv_column, (list, tuple))
                          or csv_column == "Fused-Pipeline"):
         # Natively batched Pallas kernel (leading batch grid dim, ~79-100
@@ -99,6 +163,12 @@ def _fetch_batch(token) -> np.ndarray:
     out = np.asarray(jax.block_until_ready(out))
     if kind == "xla":
         return out
+    if kind == "sharded":
+        # per-shard outputs are re-sliced to their valid rows, so global
+        # image row 0 is array row 0; crop row/batch padding + lane cols
+        h, w, b = hw
+        valid = out[:b, :, :h, layout.pad_x:layout.pad_x + w]
+        return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
     # shape-preserving output: image row 0 sits at padded row pad_y
     h, w = hw
     py = layout.pad_y
@@ -117,7 +187,8 @@ def process_batch(images: np.ndarray, csv_column="Fused-Pipeline",
 
 def process_directory(indir: str, outdir: str,
                       csv_column="Fused-Pipeline",
-                      batch_size: int = 8) -> list[str]:
+                      batch_size: int = 8,
+                      mesh: jax.sharding.Mesh | None = None) -> list[str]:
     """Process every image in `indir`, grouping same-shaped images into
     batched dispatches. Returns the written paths.
 
@@ -148,7 +219,7 @@ def process_directory(indir: str, outdir: str,
         for i in range(0, len(items), batch_size):
             chunk = items[i:i + batch_size]
             stack = np.stack([img for _, img in chunk])
-            token = _dispatch_batch(stack, csv_column, mesh=None)
+            token = _dispatch_batch(stack, csv_column, mesh=mesh)
             if pending is not None:
                 drain(pending)
             pending = (chunk, token)
@@ -175,6 +246,13 @@ def main(argv: list[str] | None = None) -> int:
                         "chain of device ops fused into one batched kernel "
                         "(models/chain.py rules apply)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--shards", type=int, default=0, metavar="N",
+                   help="Shard image rows over N devices (chain/pipeline "
+                        "ops only: the batched fused kernel then runs on "
+                        "a (data, space) mesh with ppermute halo exchange)")
+    p.add_argument("--data-shards", type=int, default=1, metavar="D",
+                   help="Also shard the batch dim over D devices (needs "
+                        "--shards; total devices = N*D)")
     p.add_argument("--backend", choices=["tpu", "cpu", "any"], default="any",
                    help="Device backend gate (cpu forces the host platform "
                         "even under a sitecustomize-registered accelerator)")
@@ -199,8 +277,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"--op must be one of {cols} or a comma-separated chain",
               file=sys.stderr)
         return 2
+    mesh = None
+    if args.shards:
+        if not (isinstance(op, list) or op == "Fused-Pipeline"):
+            print("--shards applies to chain/pipeline ops only",
+                  file=sys.stderr)
+            return 2
+        from ..parallel.halo import make_mesh
+        mesh = make_mesh(n_space=args.shards, n_data=args.data_shards)
+    elif args.data_shards != 1:
+        print("--data-shards needs --shards", file=sys.stderr)
+        return 2
     written = process_directory(args.indir, args.outdir, op,
-                                args.batch_size)
+                                args.batch_size, mesh=mesh)
     print(f"Processed {len(written)} images -> {args.outdir}")
     return 0
 

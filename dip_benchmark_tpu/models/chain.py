@@ -203,7 +203,80 @@ def _stages_for(col: str) -> list[_Stage]:
     raise ValueError(f"op not fusable in a chain: {col!r}")
 
 
-def _chain_stages(cols: list[str]) -> tuple[bool, list[_Stage]]:
+def _conv_rank1_f32(int_mask: np.ndarray, shift: int):
+    """f32-model dense conv stage: column-sums then lane-shifted column
+    accumulation, the shared f32 order (oracle_f32.convolution)."""
+    fmask = spec.mask_float(int_mask, shift)
+    kh, kw = fmask.shape
+    ry, rx = kh // 2, kw // 2
+
+    def fn(val, rows):
+        acc = None
+        for kx in range(kw):
+            col = None
+            for ky in range(kh):
+                t = val[ky:ky + rows] * jnp.float32(fmask[ky, kx])
+                col = t if col is None else col + t
+            col = _shift(col, kx - rx)
+            acc = col if acc is None else acc + col
+        return acc
+
+    return [_Stage(ry, rx, fn)]
+
+
+def _conv_separated_f32(row_mask: np.ndarray, shift: int):
+    """f32-model separated conv: two MAC stages, f32 intermediate (the f32
+    model has no per-pass quantization — oracle_f32 chains raw floats)."""
+    fm = spec.mask_float(row_mask, shift).reshape(-1)
+    n = len(fm)
+    r = n // 2
+
+    def hfn(val, rows):
+        acc = None
+        for kx in range(n):
+            # multiply before rolling (commutes; same rationale as the
+            # uint8 _conv_separated stages)
+            t = _shift(val * jnp.float32(fm[kx]), kx - r)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def vfn(val, rows):
+        acc = None
+        for ky in range(n):
+            t = val[ky:ky + rows] * jnp.float32(fm[ky])
+            acc = t if acc is None else acc + t
+        return acc
+
+    return [_Stage(0, r, hfn), _Stage(r, 0, vfn)]
+
+
+def _stages_for_f32(col: str) -> list[_Stage]:
+    """f32-model [0,1] stage forms (CUDA.jl-parity data model). Erosion
+    stages reuse the integer path's builders — min is dtype-generic."""
+    if col == "Copy":
+        return _point(lambda v: v)
+    if col == "Inversion":
+        return _point(lambda v: jnp.float32(1.0) - v)
+    if col == "Threshold":
+        return _point(lambda v: jnp.where(v > jnp.float32(0.5),
+                                          jnp.float32(1.0), jnp.float32(0.0)))
+    if col == "Erosion-3x3-Cross":
+        return _erosion(mask_to_taps(spec.CROSS_MASK_3X3))
+    if col in ("Erosion-3x3-Square", "Erosion-1x3+3x1-Square"):
+        return _erosion(mask_to_taps(spec.SQUARE_MASK_3X3))
+    if col in ("Convolution-3x3", "Gaussian-Blur-3x3"):
+        return _conv_rank1_f32(spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT)
+    if col == "Convolution-5x5":
+        return _conv_rank1_f32(spec.BLUR_5X5_INT, spec.BLUR_5X5_SHIFT)
+    if col == "Convolution-1x3+3x1":
+        return _conv_separated_f32(spec.BLUR_1X3_INT, spec.BLUR_SEP3_SHIFT)
+    if col == "Convolution-1x5+5x1":
+        return _conv_separated_f32(spec.BLUR_1X5_INT, spec.BLUR_SEP5_SHIFT)
+    raise ValueError(f"op not fusable in a chain: {col!r}")
+
+
+def _chain_stages(cols: list[str],
+                  stages_for=_stages_for) -> tuple[bool, list[_Stage]]:
     # User-facing build-time validation raises ValueError (not assert:
     # `python -O` strips asserts, and CLI callers rely on these firing).
     if not cols:
@@ -215,7 +288,7 @@ def _chain_stages(cols: list[str]) -> tuple[bool, list[_Stage]]:
                          "of a fused chain (it is cross-channel)")
     stages: list[_Stage] = []
     for col in rest:
-        stages.extend(_stages_for(col))
+        stages.extend(stages_for(col))
     return gray_first, stages
 
 
@@ -226,22 +299,33 @@ def chain_radius(cols: list[str]) -> tuple[int, int]:
     return sum(s.ry for s in stages), sum(s.rx for s in stages)
 
 
-def chain_row_parts(cols: list[str]):
+def chain_row_parts(cols: list[str], dtype: str = "uint8"):
     """(description, csv_column, sequential_oracle) for a benchmark-table
     chain row — shared by the single-device and sharded sessions. The
     csv_column embeds the chain spec so each chain row verifies against
     ITS OWN sequential oracle (two chain rows in one table must not share
-    an oracle key); non-matrix columns are ignored by the CSV writer."""
+    an oracle key); non-matrix columns are ignored by the CSV writer.
+    dtype "float32": the oracle chains the f32-model ops with the raw f32
+    intermediate (no per-op quantization — the f32 device array never
+    leaves the device between sequential ops either)."""
     desc = "Fused Chain (" + "+".join(
         c.replace("Convolution-", "Conv").replace("Erosion-", "Ero")
         for c in cols) + ")"
     col = "Fused-Chain(" + "+".join(cols) + ")"
 
-    def seq_oracle(im, _cols=tuple(cols)):
-        from .. import oracle
-        for c in _cols:
-            im = oracle.IMAGE_OPS[c](im)
-        return im
+    if dtype == "float32":
+        def seq_oracle(im, _cols=tuple(cols)):
+            from .. import oracle_f32
+            x = oracle_f32.from_uint8_hwc(im)
+            for c in _cols:
+                x = oracle_f32.IMAGE_OPS_F32[c](x)
+            return oracle_f32.to_uint8_hwc(x)
+    else:
+        def seq_oracle(im, _cols=tuple(cols)):
+            from .. import oracle
+            for c in _cols:
+                im = oracle.IMAGE_OPS[c](im)
+            return im
 
     return desc, col, seq_oracle
 
@@ -363,6 +447,56 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
         return _make_gray_chain(layout, hy, run_from_luma,
                                 packed_store=(ph, band), batch=batch)
     return _make_gray_chain(layout, hy, run_stages, batch=batch)
+
+
+def make_fused_chain_f32(layout: PlanarLayout, cols: list[str],
+                         batch: int = 0):
+    """The f32-model (--dtype float32) fused chain: ONE Pallas kernel
+    applying `cols` in order on the planar f32 [0,1] layout. Same stage
+    algebra and halo-propagation argument as the uint8 chain; no packing
+    (f32 is 1 px/lane natively) and no per-stage quantization (the f32
+    model chains raw floats, like sequentially applied f32 ops whose
+    intermediate stays on device). Shape-preserving (C, Hp, Wp) f32 ->
+    (C, Hp, Wp) f32."""
+    gray_first, stages = _chain_stages(cols, _stages_for_f32)
+    hy = sum(s.ry for s in stages)
+    hx = sum(s.rx for s in stages)
+    if hy > layout.pad_y or hx > layout.pad_x:
+        raise ValueError(
+            f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
+            f"({layout.pad_y}); shorten the chain or enlarge the halo")
+    from ..ops.pallas.window import _divisor_band
+    band = _divisor_band(layout, 2)  # f32 windows are 4x the bytes of u8
+
+    def run_stages(v):
+        rows = band + 2 * hy
+        for s in stages:
+            rows -= 2 * s.ry
+            v = s.fn(v, rows)
+        return v
+
+    if not gray_first and not batch:
+        def body(x_vmem, out_ref, *_):
+            out_ref[0] = run_stages(x_vmem[:, :])
+        return _windowed_call(layout, hy, body, band=band,
+                              dtype=jnp.float32)
+
+    if not gray_first:
+        def body(x, write, *_):
+            for ch in range(layout.channels):
+                write(ch, slice(None), run_stages(x[ch]))
+        return _windowed_call(layout, hy, body, band=band,
+                              dtype=jnp.float32, fused_channels=True,
+                              batch=batch)
+
+    def gray_body(x, write, *_):
+        wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
+        out = run_stages(wr * x[0] + wg * x[1] + wb * x[2])
+        for ch in range(layout.channels):
+            write(ch, slice(None), out)
+    return _windowed_call(layout, hy, gray_body, band=band,
+                          dtype=jnp.float32, fused_channels=True,
+                          batch=batch)
 
 
 def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,

@@ -47,10 +47,16 @@ def _shard_layout(h_loc: int, width: int, halo: int | None = None,
 
 
 def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
-                             axis: str = "space") -> tuple[dict, PlanarLayout]:
-    """CSV-column-keyed jitted ops over (C, height, Wp) uint8 arrays row-
-    sharded on `axis`. height must divide the axis size. Returns the op
-    dict and the per-shard layout (whose padded_width defines Wp)."""
+                             axis: str = "space", dtype: str = "uint8"
+                             ) -> tuple[dict, PlanarLayout]:
+    """CSV-column-keyed jitted ops over (C, height, Wp) arrays row-sharded
+    on `axis`. height must divide the axis size. Returns the op dict and
+    the per-shard layout (whose padded_width defines Wp).
+
+    dtype "uint8" (primary) or "float32": the CUDA.jl-parity planar [0,1]
+    model runs the SAME lift over ops/pallas/f32.py's hand-written f32
+    kernels — ppermute/pad/slice are dtype-generic, so nothing else
+    changes (the halo rows a neighbor sends are its real f32 rows)."""
     from ..ops import pallas as pallas_ops
 
     n = mesh.shape[axis]
@@ -58,7 +64,12 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
         f"the {n}-shard axis must divide height {height}")
     h_loc = height // n
     layout = _shard_layout(h_loc, width)
-    local = pallas_ops.build_ops(layout)
+    if dtype == "float32":
+        local = pallas_ops.build_f32_ops(layout)
+    elif dtype == "uint8":
+        local = pallas_ops.build_ops(layout)
+    else:
+        raise ValueError(f"Unknown dtype: {dtype!r}")
     hp = layout.padded_height
     point_cols = set(pallas_ops.POINT_COLS)
 
@@ -91,7 +102,8 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
 
 
 def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
-                         width: int, axis: str = "space"):
+                         width: int, axis: str = "space", batch: int = 0,
+                         data_axis: str = "data"):
     """A GENERIC fused op chain (models/chain.py) sharded over the mesh's
     `axis`: rows shard, `lax.ppermute` exchanges a halo sized to the
     CHAIN's total radius (not just one op's), and each shard runs the
@@ -104,7 +116,14 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     Input/output: (C, height, Wp) uint8 row-sharded on `axis`, with
     mirror COLUMNS baked at the returned layout's pad_x (bake with
     bake_mirror_cols(..., layout)). height must divide the axis size and
-    each shard must be taller than the chain radius."""
+    each shard must be taller than the chain radius.
+
+    batch=B serves a (B, C, height, Wp) stack over the full 2-D
+    (data, space) mesh — batch shards over `data_axis`, rows over `axis`,
+    and each shard runs the BATCHED chain kernel
+    (make_fused_chain(batch=b_loc), leading batch grid axis) on its local
+    stack: the chain analogue of sharded_pallas_pipeline, serving whole
+    directories of images across chips in one dispatch per chunk."""
     from ..models.chain import check_chain, make_fused_chain
 
     n = mesh.shape[axis]
@@ -116,8 +135,34 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     layout = _shard_layout(h_loc, width, halo=halo,
                            what=f"a radius-{halo} chain's halo exchange")
     hp = layout.padded_height
-    op = make_fused_chain(layout, cols)
     windowed = ry > 0  # point-only chains need no ICI halo (cf. lift())
+
+    if batch:
+        n_data = mesh.shape[data_axis]
+        assert batch % n_data == 0, (
+            f"the {n_data}-shard data axis must divide batch {batch}")
+        b_loc = batch // n_data
+        op = make_fused_chain(layout, cols, batch=b_loc)
+
+        def body_b(x):  # (b_loc, C, h_loc, Wp)
+            if windowed:
+                x = jax.vmap(lambda im: exchange_row_halo(
+                    im, layout.pad_y, axis))(x)
+            buf = jnp.pad(x, ((0, 0), (0, 0), (0, hp - x.shape[2]),
+                              (0, 0)))
+            out = op(buf)
+            if windowed:
+                return out[:, :, layout.pad_y:layout.pad_y + h_loc]
+            return out[:, :, :h_loc]
+
+        fn = jax.jit(jax.shard_map(
+            body_b, mesh=mesh,
+            in_specs=P(data_axis, None, axis, None),
+            out_specs=P(data_axis, None, axis, None),
+            check_vma=False))
+        return fn, layout
+
+    op = make_fused_chain(layout, cols)
 
     def body(x):  # x: (C, h_loc, Wp) local shard
         if windowed:

@@ -31,16 +31,25 @@ class ShardedBenchmarkSession:
     path: "xla" lifts plain jnp/lax bodies over the mesh (parallel/ops.py);
     "pallas" lifts the hand-written P-path kernels themselves, each shard
     running them on its locally assembled planar buffer with ICI halo
-    exchange (parallel/pallas_ops.py). Both bit-exact vs the oracle."""
+    exchange (parallel/pallas_ops.py). Both bit-exact vs the oracle.
+
+    dtype: "uint8" (primary HWC model) or "float32" (the CUDA.jl-parity
+    planar [0,1] model, SURVEY.md §2.3) — the same sharding scheme lifts
+    both models' op sets; outputs verify against the matching oracle
+    (f32 within the single-device session's 1-level quantization atol)."""
 
     def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
-                 mesh: Mesh | None = None, path: str = "xla"):
+                 mesh: Mesh | None = None, path: str = "xla",
+                 dtype: str = "uint8"):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        if dtype not in ("uint8", "float32"):
+            raise ValueError(f"Unknown dtype: {dtype!r}")
         self.mesh = mesh or make_mesh(n_space=n_devices
                                       or len(jax.devices()))
         n = self.mesh.shape["space"]
         h, w, c = host_image.shape
         self.path = path
+        self.dtype = dtype
         self.width = w
         # Pad rows (high-side mirror: row h+k holds img[h-1-k]) so H divides
         # the shard count; crop on fetch. Keep pad >= 2 so windowed taps up
@@ -62,19 +71,27 @@ class ShardedBenchmarkSession:
                 f"{planar.shape[1] // n} rows per shard; halo exchange "
                 f"needs >= 3 — use fewer devices or a taller image")
         # Upload transfers the UNPADDED image bytes (the benchmark payload,
-        # comparable across paths); the pallas path's lane-padded compute
-        # buffer is built on device from it, untimed (same role as the
-        # single-device session's layout build).
+        # comparable across paths; the f32 model's payload is its native
+        # f32 planar bytes, like the CUDA.jl backend's upload of the host-
+        # converted Float32 array, cuda/benchmark.jl:171-173); the pallas
+        # path's lane-padded compute buffer is built on device from it,
+        # untimed (same role as the single-device session's layout build).
+        if dtype == "float32":
+            planar = planar.astype(np.float32) / np.float32(255)
         self.host_planar = np.ascontiguousarray(planar)
         self.sharding = NamedSharding(self.mesh, P(None, "space", None))
         if path == "pallas":
             from ..utils.image import bake_mirror_cols
             from .pallas_ops import build_sharded_pallas_ops
             self._ops, self.layout = build_sharded_pallas_ops(
-                self.mesh, planar.shape[1], w)
+                self.mesh, planar.shape[1], w, dtype=dtype)
             dev_buf = bake_mirror_cols(planar, self.layout)
         elif path == "xla":
-            self._ops = build_sharded_ops(self.mesh)
+            if dtype == "float32":
+                from .ops import build_sharded_ops_f32
+                self._ops = build_sharded_ops_f32(self.mesh)
+            else:
+                self._ops = build_sharded_ops(self.mesh)
             self.layout = None
             dev_buf = self.host_planar
         else:
@@ -82,6 +99,7 @@ class ShardedBenchmarkSession:
         self.planar_dev = _sync(jax.device_put(dev_buf, self.sharding))
         self._sample = None
         self._extra_oracles: dict = {}
+        self._chain_exec: tuple | None = None  # set by chain_operation
         if self.layout is not None:
             # Jit the device-side crop ONCE: building it inside _download
             # would pay a retrace per round inside the timed Download loop.
@@ -123,6 +141,9 @@ class ShardedBenchmarkSession:
         if self.layout is not None:  # pallas path: crop the column padding
             px = self.layout.pad_x
             arr = arr[:, :, px:px + self.width]
+        if self.dtype == "float32":
+            from .. import oracle_f32
+            return oracle_f32.to_uint8_hwc(arr)
         return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
 
     def operations(self, include_pipeline: bool = False) -> list[Operation]:
@@ -158,6 +179,9 @@ class ShardedBenchmarkSession:
         padded edge IS the true image edge)."""
         if self.path != "pallas":
             raise ValueError("--fuse with --shards needs --path pallas")
+        if self.dtype != "uint8":
+            raise ValueError("sharded fused chains support the uint8 "
+                             "model (use --fuse without --shards for f32)")
         from ..models.chain import check_chain
         from ..utils.image import bake_mirror_cols
         from .pallas_ops import sharded_pallas_chain
@@ -186,6 +210,8 @@ class ShardedBenchmarkSession:
                                           planar.shape[1], self.width)
         dev = _sync(jax.device_put(bake_mirror_cols(planar, layout),
                                    self.sharding))
+        # expose to execution_table (sharded chains are shape-preserving)
+        self._chain_exec = (fn, dev)
         op = AotOp(fn) if hasattr(fn, "lower") else fn
 
         def run():
@@ -201,11 +227,51 @@ class ShardedBenchmarkSession:
         self._extra_oracles[col] = seq_oracle
         return Operation(desc, "chain", col, run, fetch)
 
+    def execution_table(self, include_pipeline: bool = False,
+                        k1: int = 30, k2: int = 300,
+                        samples: int = 5) -> list[tuple[str, float]]:
+        """[(csv_column, seconds_per_application)] of TRUE device execution
+        time for the SHARDED ops — the chained-K marginal lifted over the
+        shard_map programs. Every sharded op is shape-preserving on the
+        global (C, H, Wp) array, so `lax.fori_loop` composes them in-graph
+        (each iteration re-runs halo exchange + kernels on every shard);
+        fetching one element at the end forces completion of the whole
+        chain, ICI collectives included — so the marginal prices the full
+        per-application cost of the distributed op, which the dispatch-rate
+        rows cannot see on relay rigs (runtime/exec_timing.py docstring).
+
+        D2H-bearing: run AFTER the regular measurements, like the
+        single-device table."""
+        from ..runtime.exec_timing import execution_time
+        src = self.planar_dev
+        cols = [c for _, _, c in spec.OPERATION_MATRIX
+                if c not in ("Upload", "Download")]
+        if include_pipeline:
+            cols.append("Fused-Pipeline")
+        rows = [(col, execution_time(self._ops[col], src,
+                                     k1=k1, k2=k2, samples=samples))
+                for col in cols]
+        if self._chain_exec is not None:
+            fn, dev = self._chain_exec
+            rows.append(("Fused-Chain", execution_time(
+                fn, dev, k1=k1, k2=k2, samples=samples)))
+        return rows
+
     @property
     def verify_atol(self) -> int:
-        return 0  # uint8 model: bit-exact contract
+        # uint8: bit-exact contract; f32: 1 quantization level of ulp slack
+        # (same rationale as BenchmarkSession.verify_atol).
+        return 1 if self.dtype == "float32" else 0
 
     def oracle_ops(self) -> dict:
+        if self.dtype == "float32":
+            from .. import oracle_f32
+
+            def wrap(col):
+                fn = oracle_f32.IMAGE_OPS_F32[col]
+                return lambda im: oracle_f32.to_uint8_hwc(
+                    fn(oracle_f32.from_uint8_hwc(im)))
+            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
         from .. import native, oracle
         base = (native.image_ops() if native.available()
                 else oracle.IMAGE_OPS)

@@ -278,26 +278,29 @@ class BenchmarkSession:
     def chain_operation(self, cols: list[str]) -> Operation:
         """Extra benchmark row: an ARBITRARY fused op chain (models/chain
         .py) as ONE Pallas dispatch — the user-composable generalization of
-        pipeline_operation. Pallas path, uint8 model only. When the chain's
-        total radius exceeds the session layout's halo, a deeper-halo
-        layout + planar copy is built here (untimed session state, like
-        the initial upload)."""
-        if self.path != "pallas" or self.dtype != "uint8":
-            raise ValueError(
-                "fused chains need --path pallas --dtype uint8")
+        pipeline_operation. Pallas path; both data models (uint8 chains are
+        packed-16 integer kernels, f32 chains the make_fused_chain_f32
+        form). When the chain's total radius exceeds the session layout's
+        halo, a deeper-halo layout + planar copy is built here (untimed
+        session state, like the initial upload)."""
+        if self.path != "pallas":
+            raise ValueError("fused chains need --path pallas")
         from .models import chain as chain_model
         from .utils.image import from_planar_padded
         ry, rx = chain_model.check_chain(cols)
         r = max(ry, rx)
+        f32 = self.dtype == "float32"
+        to_planar = (image_util.to_planar_padded_f32 if f32
+                     else image_util.to_planar_padded)
         if r <= self.layout.pad_y:
             layout, planar = self.layout, self.planar_dev
         else:
             h, w, c = self.host_image.shape
             layout = image_util.make_layout(h, w, c, halo=r)
             planar = _sync(jax.device_put(
-                image_util.to_planar_padded(self.host_image, layout),
-                self.device))
-        fn = chain_model.make_fused_chain(layout, cols)
+                to_planar(self.host_image, layout), self.device))
+        fn = (chain_model.make_fused_chain_f32(layout, cols) if f32
+              else chain_model.make_fused_chain(layout, cols))
         # expose to execution_table: chains are shape-preserving, so the
         # chained-K marginal applies directly (on the chain's own planar)
         self._chain_exec = (fn, planar)
@@ -306,10 +309,19 @@ class BenchmarkSession:
         def run():
             self._sample = _sync(op(planar))
 
-        def fetch():
-            return from_planar_padded(np.asarray(self._sample), layout)
+        if f32:
+            def fetch():
+                from . import oracle_f32
+                arr = np.asarray(self._sample)
+                py, px = layout.pad_y, layout.pad_x
+                return oracle_f32.to_uint8_hwc(
+                    arr[:, py:py + layout.height, px:px + layout.width])
+        else:
+            def fetch():
+                return from_planar_padded(np.asarray(self._sample), layout)
 
-        desc, col, seq_oracle = chain_model.chain_row_parts(cols)
+        desc, col, seq_oracle = chain_model.chain_row_parts(
+            cols, dtype=self.dtype)
         self._extra_oracles[col] = seq_oracle
         return Operation(desc, "chain", col, run, fetch)
 
@@ -333,7 +345,10 @@ class BenchmarkSession:
                 fn = oracle_f32.IMAGE_OPS_F32[col]
                 return lambda im: oracle_f32.to_uint8_hwc(
                     fn(oracle_f32.from_uint8_hwc(im)))
-            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+            base = {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+            if self._extra_oracles:  # chain rows' sequential f32 oracles
+                base = {**base, **self._extra_oracles}
+            return base
         from . import native, oracle
         base = (native.image_ops() if native.available()
                 else oracle.IMAGE_OPS)

@@ -156,3 +156,62 @@ def test_process_directory_overlaps_dispatch_and_fetch(rng, tmp_path,
     assert len(written) == 3
     assert events == [("dispatch", 1), ("dispatch", 1), ("fetch",),
                       ("dispatch", 1), ("fetch",), ("fetch",)]
+
+
+# ---------------------------------------------------------------------------
+# Round 3: batched sharded chains on the 2-D mesh (batch tool surface)
+# ---------------------------------------------------------------------------
+
+def test_process_batch_sharded_chain_2d_mesh(rng):
+    """Chains over a (data, space) mesh: odd batch (pads over data) and
+    non-divisible height (mirror-pads rows) both crop back bit-exactly."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_space=4, n_data=2)
+    imgs = rng.integers(0, 256, size=(3, 27, 31, 3), dtype=np.uint8)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Square"]
+    got = batch.process_batch(imgs, cols, mesh=mesh)
+    for i in range(3):
+        want = imgs[i]
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"img {i}")
+
+
+def test_process_batch_sharded_pipeline_routes_to_chain(rng):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_space=4, n_data=2)
+    imgs = rng.integers(0, 256, size=(2, 32, 28, 3), dtype=np.uint8)
+    got = batch.process_batch(imgs, "Fused-Pipeline", mesh=mesh)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            got[i], oracle.IMAGE_OPS["Fused-Pipeline"](imgs[i]))
+
+
+def test_process_directory_sharded_chain(rng, tmp_path):
+    """The VERDICT-r2 'done' criterion: a --op chain directory run sharded
+    over the virtual mesh, bit-exact per image."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    os.makedirs(indir)
+    cols = ["Inversion", "Convolution-3x3"]
+    imgs = {}
+    for i in range(3):
+        img = rng.integers(0, 256, size=(26, 30, 3), dtype=np.uint8)
+        imgs[f"im{i}.png"] = img
+        save_image(str(indir / f"im{i}.png"), img)
+    mesh = make_mesh(n_space=4, n_data=2)
+    written = batch.process_directory(str(indir), str(outdir), cols,
+                                      batch_size=2, mesh=mesh)
+    assert len(written) == 3
+    for name, img in imgs.items():
+        want = img
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(load_image(str(outdir / name)), want,
+                                      err_msg=name)

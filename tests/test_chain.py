@@ -61,13 +61,13 @@ def test_chain_matches_sequential_oracle_gradient(gradient_image):
 
 def test_chain_radius_budget_enforced(small_image):
     layout = make_layout(*small_image.shape[:2])
-    with pytest.raises(AssertionError, match="chain radius"):
+    with pytest.raises(ValueError, match="chain radius"):
         make_fused_chain(layout, ["Convolution-5x5"] * 5)  # ry = 10 > 8
 
 
 def test_chain_grayscale_only_first(small_image):
     layout = make_layout(*small_image.shape[:2])
-    with pytest.raises(AssertionError, match="Grayscale"):
+    with pytest.raises(ValueError, match="Grayscale"):
         make_fused_chain(layout, ["Inversion", "Grayscale"])
 
 
@@ -144,3 +144,75 @@ def test_chain_max_radius_composes(small_image):
     cols = ["Convolution-5x5"] * 4
     np.testing.assert_array_equal(run_chain(cols, small_image, halo=8),
                                   sequential(cols, small_image))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: f32-model fused chains (make_fused_chain_f32)
+# ---------------------------------------------------------------------------
+
+def _seq_f32(img, cols):
+    from dip_benchmark_tpu import oracle_f32
+    x = oracle_f32.from_uint8_hwc(img)
+    for c in cols:
+        x = oracle_f32.IMAGE_OPS_F32[c](x)
+    return oracle_f32.to_uint8_hwc(x)
+
+
+@pytest.mark.parametrize("cols,halo", [
+    (["Grayscale", "Threshold", "Erosion-3x3-Square",
+      "Gaussian-Blur-3x3"], 2),
+    (["Inversion", "Convolution-5x5"], 2),
+    (["Convolution-1x3+3x1", "Erosion-3x3-Cross"], 2),
+    (["Convolution-5x5", "Convolution-1x5+5x1"], 4),
+])
+def test_f32_chain_matches_sequential_oracle(cols, halo, small_image):
+    from dip_benchmark_tpu import oracle_f32
+    from dip_benchmark_tpu.models.chain import make_fused_chain_f32
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_planar_padded_f32)
+    h, w, _ = small_image.shape
+    layout = make_layout(h, w, halo=halo)
+    fn = make_fused_chain_f32(layout, cols)
+    out = np.asarray(fn(jax.device_put(
+        to_planar_padded_f32(small_image, layout))))
+    py, px = layout.pad_y, layout.pad_x
+    got = oracle_f32.to_uint8_hwc(out[:, py:py + h, px:px + w])
+    want = _seq_f32(small_image, cols)
+    np.testing.assert_allclose(got.astype(int), want.astype(int), atol=1,
+                               err_msg=str(cols))
+
+
+def test_f32_chain_batched(small_image):
+    from dip_benchmark_tpu import oracle_f32
+    from dip_benchmark_tpu.models.chain import make_fused_chain_f32
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_planar_padded_f32)
+    r = np.random.default_rng(3)
+    h, w, _ = small_image.shape
+    stack = r.integers(0, 256, (3, h, w, 3), np.uint8)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Cross"]
+    layout = make_layout(h, w)
+    fn = make_fused_chain_f32(layout, cols, batch=3)
+    dev = np.stack([to_planar_padded_f32(im, layout) for im in stack])
+    out = np.asarray(fn(jax.device_put(dev)))
+    py, px = layout.pad_y, layout.pad_x
+    for i in range(3):
+        got = oracle_f32.to_uint8_hwc(out[i][:, py:py + h, px:px + w])
+        np.testing.assert_allclose(got.astype(int),
+                                   _seq_f32(stack[i], cols).astype(int),
+                                   atol=1, err_msg=f"image {i}")
+
+
+def test_f32_session_chain_operation(small_image):
+    from dip_benchmark_tpu.session import BenchmarkSession
+    session = BenchmarkSession(small_image, path="pallas", dtype="float32")
+    cols = ["Inversion", "Convolution-3x3", "Convolution-5x5"]  # radius 3
+    op = session.chain_operation(cols)
+    op.run()
+    got = op.fetch()
+    want = session.oracle_ops()[op.csv_column](small_image)
+    np.testing.assert_allclose(got.astype(int), want.astype(int),
+                               atol=session.verify_atol)
+    # chains appear in the f32 exec table too
+    rows = session.execution_table(k1=2, k2=4, samples=1)
+    assert rows[-1][0] == "Fused-Chain"

@@ -146,3 +146,137 @@ def test_sharded_session_chain_operation(image):
     xla_session = ShardedBenchmarkSession(image, n_devices=8, path="xla")
     with pytest.raises(ValueError, match="path pallas"):
         xla_session.chain_operation(["Inversion"])
+
+
+# ---------------------------------------------------------------------------
+# Round 3: f32 data model on the sharded surface, sharded exec table,
+# batched sharded chains (VERDICT r2 items 2-4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("path", ["xla", "pallas"])
+def test_sharded_f32_all_ops(path):
+    """--shards --dtype float32: the CUDA.jl-parity planar [0,1] model
+    over the mesh, both paths, vs the f32 oracle (1-level quantization
+    atol, like the single-device f32 session)."""
+    from dip_benchmark_tpu import oracle_f32
+    r = np.random.default_rng(5)
+    img = r.integers(0, 256, size=(43, 38, 3), dtype=np.uint8)  # pads rows
+    session = ShardedBenchmarkSession(img, n_devices=8, path=path,
+                                      dtype="float32")
+    oracle_ops = session.oracle_ops()
+    ops = {op.csv_column: op
+           for op in session.operations(include_pipeline=True)}
+    for col in sorted(oracle_f32.IMAGE_OPS_F32):
+        op = ops[col]
+        op.run()
+        got = op.fetch()
+        want = oracle_ops[col](img)
+        np.testing.assert_allclose(got.astype(np.int32),
+                                   want.astype(np.int32),
+                                   atol=session.verify_atol,
+                                   err_msg=f"{col} [{path}/f32]")
+
+
+def test_sharded_f32_download_round_trip():
+    r = np.random.default_rng(6)
+    img = r.integers(0, 256, size=(40, 33, 3), dtype=np.uint8)
+    from dip_benchmark_tpu import oracle_f32
+    session = ShardedBenchmarkSession(img, n_devices=8, path="pallas",
+                                      dtype="float32")
+    session._download_prepare()
+    planar = session._download()
+    got = oracle_f32.to_uint8_hwc(planar[:, :session.valid_height])
+    np.testing.assert_array_equal(got, img)
+
+
+def test_sharded_f32_runner_with_verification(tmp_path):
+    r = np.random.default_rng(7)
+    img = r.integers(0, 256, size=(32, 36, 3), dtype=np.uint8)
+    session = ShardedBenchmarkSession(img, n_devices=8, dtype="float32")
+    runner = BenchmarkRunner(session.operations(), rounds=2)
+    results = runner.run(filename="s.png", outdir=str(tmp_path),
+                         verify_against=img,
+                         verify_ops=session.oracle_ops(),
+                         verify_atol=session.verify_atol, quiet=True)
+    assert len(results) == 14
+
+
+def test_sharded_execution_table(image):
+    """--shards --exec: the chained-K marginal lifted over shard_map
+    programs — structural check with tiny K on the virtual mesh."""
+    session = ShardedBenchmarkSession(image, n_devices=8, path="xla")
+    rows = session.execution_table(k1=2, k2=4, samples=1)
+    cols = [c for c, _ in rows]
+    assert len(rows) == 12 and "Upload" not in cols
+    assert all(t >= 0.0 for _, t in rows)
+    # with a chain row attached, the table grows a Fused-Chain row
+    psession = ShardedBenchmarkSession(image, n_devices=8, path="pallas")
+    psession.chain_operation(["Inversion", "Threshold"])
+    rows = psession.execution_table(k1=2, k2=4, samples=1)
+    assert rows[-1][0] == "Fused-Chain"
+
+
+def test_sharded_chain_batched_2d_mesh():
+    """sharded_pallas_chain(batch=B): the batched fused chain over the
+    full (data, space) mesh, bit-exact vs the sequential oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dip_benchmark_tpu.parallel import make_mesh
+    from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_chain
+    from dip_benchmark_tpu.utils.image import bake_mirror_cols
+
+    mesh = make_mesh(n_space=4, n_data=2)
+    r = np.random.default_rng(12)
+    B, h, w = 4, 32, 40
+    stack = r.integers(0, 256, (B, h, w, 3), np.uint8)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Square",
+            "Gaussian-Blur-3x3"]
+    fn, layout = sharded_pallas_chain(mesh, cols, h, w, batch=B)
+    planar = np.stack([bake_mirror_cols(np.transpose(im, (2, 0, 1)), layout)
+                       for im in stack])
+    xdev = jax.device_put(
+        planar, NamedSharding(mesh, P("data", None, "space", None)))
+    out = np.asarray(jax.block_until_ready(fn(xdev)))
+    for b in range(B):
+        got = np.transpose(out[b][:, :h, layout.pad_x:layout.pad_x + w],
+                           (1, 2, 0))
+        want = stack[b]
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(got, want, err_msg=f"batch {b}")
+
+
+def test_sharded_f32_chain_rejected():
+    r = np.random.default_rng(13)
+    img = r.integers(0, 256, size=(32, 36, 3), dtype=np.uint8)
+    session = ShardedBenchmarkSession(img, n_devices=8, path="pallas",
+                                      dtype="float32")
+    with pytest.raises(ValueError, match="uint8"):
+        session.chain_operation(["Inversion"])
+
+
+def test_cli_shards_f32(tmp_path):
+    """CLI end-to-end: --shards 8 --dtype float32 --verify (both the
+    VERDICT-r2 item-2 'done' surface and the CLI gate removal)."""
+    import os
+    import subprocess
+    import sys
+
+    from dip_benchmark_tpu.utils.image import save_image
+    r = np.random.default_rng(21)
+    img = r.integers(0, 256, size=(35, 33, 3), dtype=np.uint8)
+    img_path = tmp_path / "in.png"
+    save_image(str(img_path), img)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIP_FORCE_PLATFORM="cpu")
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/tpu/benchmark.py", str(img_path),
+         str(tmp_path / "out"), "--rounds", "1", "--backend", "cpu",
+         "--shards", "8", "--path", "pallas", "--dtype", "float32",
+         "--verify"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Grayscale" in proc.stdout
