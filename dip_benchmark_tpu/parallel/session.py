@@ -100,13 +100,7 @@ class ShardedBenchmarkSession:
         self._sample = None
         self._extra_oracles: dict = {}
         self._chain_exec: tuple | None = None  # set by chain_operation
-        if self.layout is not None:
-            # Jit the device-side crop ONCE: building it inside _download
-            # would pay a retrace per round inside the timed Download loop.
-            px, vw = self.layout.pad_x, self.width
-            self._crop_dl = jax.jit(lambda x: x[:, :, px:px + vw])
-        else:
-            self._crop_dl = None
+        self._chunked_dl = None  # built lazily (Download's 'once' column)
 
     # -- memory ops ---------------------------------------------------------
 
@@ -114,12 +108,17 @@ class ShardedBenchmarkSession:
         return _sync(jax.device_put(self.host_planar, self.sharding))
 
     def _download(self):
-        out = self._ops["Copy"](self.planar_dev)
-        if self._crop_dl is not None:
-            # crop the lane padding on DEVICE so the timed D2H moves the
-            # image bytes, comparable with the xla path's Download row
-            out = self._crop_dl(out)
-        return np.asarray(out)
+        if self._chunked_dl is None:
+            from ..runtime.transfer import make_chunked_download
+            crop = None
+            if self.layout is not None:
+                # crop the lane padding on DEVICE so the timed D2H moves
+                # the image bytes, comparable with the xla path's row
+                px, vw = self.layout.pad_x, self.width
+                crop = (lambda x: x[:, :, px:px + vw])
+            self._chunked_dl = make_chunked_download(
+                self.planar_dev, crop, axis=1)
+        return self._chunked_dl()
 
     def _download_prepare(self):
         np.asarray(_sync(jax.device_put(

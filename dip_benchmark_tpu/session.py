@@ -76,12 +76,14 @@ class BenchmarkSession:
         # dispatch ~500x, so all D2H is deferred to the harness's post-
         # measurement phase (see harness module docstring). The Download
         # operation carries its own prepare() warm-up instead.
-        # Download must hand back a FRESH device array every round: jax.Array
+        # Download must hand back FRESH device buffers every round: jax.Array
         # caches its host copy, so re-downloading self.image_dev would time a
-        # no-op after round 1. The identity jit yields a new buffer each call
-        # (XLA may not alias a parameter to a result), adding only a D2D copy
-        # (~10^-4 s) to the measured D2H transfer.
-        self._fresh_copy = jax.jit(jnp.copy)
+        # no-op after round 1. The chunked reader's split program yields new
+        # buffers each call (XLA may not alias a parameter to a result) and
+        # pipelines the k chunk reads (runtime/transfer.py — measured 15%
+        # under the single-read transport floor on the relay rig). Built
+        # lazily: its compile belongs to Download's 'once' column.
+        self._chunked_dl = None
 
         if path == "pallas" and dtype == "float32":
             from .ops import pallas as pallas_ops
@@ -124,7 +126,10 @@ class BenchmarkSession:
         return _sync(jax.device_put(self.host_image, self.device))
 
     def _download(self):
-        return np.asarray(self._fresh_copy(self.image_dev))
+        if self._chunked_dl is None:
+            from .runtime.transfer import make_chunked_download
+            self._chunked_dl = make_chunked_download(self.image_dev)
+        return self._chunked_dl()
 
     def _download_prepare(self):
         """Untimed warm-up absorbing one-time D2H transport initialization

@@ -40,7 +40,7 @@ def test_check_chain_validation():
     assert check_chain(["Convolution-5x5", "Convolution-3x3"]) == (3, 3)
     with pytest.raises(ValueError, match="chain radius"):
         check_chain(["Convolution-5x5"] * 5)  # ry = 10 > 8
-    with pytest.raises(AssertionError, match="Grayscale"):
+    with pytest.raises(ValueError, match="Grayscale"):
         check_chain(["Inversion", "Grayscale"])
     with pytest.raises(ValueError, match="not fusable"):
         check_chain(["Upload"])
@@ -74,3 +74,22 @@ def test_render_group_charts(tmp_path):
     out = render_group_charts(str(csv), str(tmp_path / "plots"))
     assert len(out) == 5
     assert all(os.path.getsize(p) > 0 for p in out)
+
+
+def test_chunked_download_round_trip():
+    """runtime/transfer.py: k-chunk async D2H reassembles exactly, with
+    fresh device buffers per call, odd sizes, and a device-side crop."""
+    import jax
+    import numpy as np
+    from dip_benchmark_tpu.runtime.transfer import make_chunked_download
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(37, 23, 3), dtype=np.uint8)
+    x = jax.device_put(arr)
+    dl = make_chunked_download(x, k=8)
+    np.testing.assert_array_equal(dl(), arr)
+    np.testing.assert_array_equal(dl(), arr)
+
+    # crop transform + non-default axis + k > n clamp
+    dl2 = make_chunked_download(x, lambda v: v[:, 2:21], k=64, axis=1)
+    np.testing.assert_array_equal(dl2(), arr[:, 2:21])
