@@ -120,9 +120,10 @@ def ero_square_flat(x):
     bot = jnp.flip(f[-2:-1], axis=0)
     fv = jnp.concatenate([top, f, bot], axis=0)
     rows = jnp.minimum(jnp.minimum(fv[0:h], fv[1:h + 1]), fv[2:h + 2])
-    # horizontal: mirror 1 PIXEL = 3 bytes each side in the flat domain
-    left = jnp.flip(rows[:, 3:6], axis=1)
-    right = jnp.flip(rows[:, n - 6:n - 3], axis=1)
+    # horizontal: mirror 1 PIXEL = 3 bytes each side in the flat domain —
+    # the mirrored pixel keeps its channel order (no byte flip)
+    left = rows[:, 3:6]
+    right = rows[:, n - 6:n - 3]
     ph = jnp.concatenate([left, rows, right], axis=1)
     out = jnp.minimum(jnp.minimum(
         lax.slice(ph, (0, 0), (h, n)),
