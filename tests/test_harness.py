@@ -201,3 +201,26 @@ def test_reference_plot_py_ingests_our_csv(fundus_crop, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     pngs = sorted(p.name for p in assets.glob("*.png"))
     assert len(pngs) == 5, pngs
+
+
+def test_render_exec_chart(tmp_path):
+    """The exec-vs-reference chart renders from a bench JSON's per-op
+    exec_us rows (VERDICT r2 'missing' item 5)."""
+    pytest.importorskip("matplotlib")
+    import json
+
+    from dip_benchmark_tpu.utils.plots import render_exec_chart
+    csv_path = tmp_path / "results.csv"
+    cols = [c for c in __import__(
+        "dip_benchmark_tpu.spec", fromlist=["spec"]).CSV_COLUMNS]
+    with open(csv_path, "w") as f:
+        f.write("Tool," + ",".join(cols) + "\n")
+        f.write("CUDA," + ",".join("0.001" for _ in cols) + "\n")
+        f.write("TPU," + ",".join("0.0001" for _ in cols) + "\n")
+    bench = {"ops": {c: {"p50_us": 25.0, "exec_us": 100.0}
+                     for c in cols if c not in ("Upload", "Download")}}
+    jpath = tmp_path / "bench.json"
+    jpath.write_text(json.dumps(bench))
+    out = render_exec_chart(str(csv_path), str(jpath),
+                            str(tmp_path / "exec.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
