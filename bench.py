@@ -153,6 +153,12 @@ def main() -> int:
         stats=True, warmup=10)
     results = runner.run(verify_against=image, quiet=True)
 
+    # D2H floor IMMEDIATELY after the run (whose last measured op is
+    # Download): same weather window, so Download/floor is a real ratio —
+    # round-2 probed it after the exec tables, minutes of weather later,
+    # and the ratio misstated the op by up to 1.3x (DESIGN.md §4.6).
+    d2h_floor = _d2h_floor(image.nbytes)
+
     once_s = {r.csv_column: r.time_once for r in pre.results}
     mean2_s = {r.csv_column: r.time_rounds for r in pre.results}
     lat_us, mean_us, speedups, ops_json = {}, {}, {}, {}
@@ -211,8 +217,6 @@ def main() -> int:
             print(f"  {col:28s} {t * 1e6:10.1f} us exec{vs}",
                   file=sys.stderr)
 
-    # Raw D2H relay floor for the image's byte count, AFTER all op timing.
-    d2h_floor = _d2h_floor(image.nbytes)
     print(f"  transport floor ({image.nbytes / 1e6:.1f} MB): "
           f"H2D {h2d_floor * 1e3:.1f} ms, D2H {d2h_floor * 1e3:.1f} ms; "
           f"Upload/floor = {lat_us['Upload'] / 1e3 / (h2d_floor * 1e3):.2f}, "

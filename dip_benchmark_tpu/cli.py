@@ -94,8 +94,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--chained", type=int, default=0, metavar="K",
                         help="Measurement-only mode: time K in-graph chained "
                              "applications per round and report "
-                             "per-application execution time (X-path only; "
-                             "amortizes per-dispatch overhead)")
+                             "per-application time (any path/model; "
+                             "amortizes per-dispatch overhead — but see "
+                             "--exec for completed-work time)")
     parser.add_argument("--mem-rounds", type=int, default=None, metavar="N",
                         help="Round count override for the host-transfer "
                              "ops (Upload/Download) only — on relay-tunneled "

@@ -103,7 +103,7 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
 
 def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
                          width: int, axis: str = "space", batch: int = 0,
-                         data_axis: str = "data"):
+                         data_axis: str = "data", dtype: str = "uint8"):
     """A GENERIC fused op chain (models/chain.py) sharded over the mesh's
     `axis`: rows shard, `lax.ppermute` exchanges a halo sized to the
     CHAIN's total radius (not just one op's), and each shard runs the
@@ -123,8 +123,23 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     and each shard runs the BATCHED chain kernel
     (make_fused_chain(batch=b_loc), leading batch grid axis) on its local
     stack: the chain analogue of sharded_pallas_pipeline, serving whole
-    directories of images across chips in one dispatch per chunk."""
-    from ..models.chain import check_chain, make_fused_chain
+    directories of images across chips in one dispatch per chunk.
+
+    dtype "float32" shards the f32-model chain (make_fused_chain_f32) the
+    same way — the exchanged halo rows are the neighbor's real f32 rows,
+    so the single-device chain's halo-propagation argument carries over
+    unchanged (ppermute/pad/slice are dtype-generic)."""
+    from ..models.chain import (check_chain, make_fused_chain,
+                                make_fused_chain_f32)
+
+    if dtype == "float32":
+        def make(layout_, cols_, batch_=0):
+            return make_fused_chain_f32(layout_, cols_, batch=batch_)
+    elif dtype == "uint8":
+        def make(layout_, cols_, batch_=0):
+            return make_fused_chain(layout_, cols_, batch=batch_)
+    else:
+        raise ValueError(f"Unknown dtype: {dtype!r}")
 
     n = mesh.shape[axis]
     assert height % n == 0, (
@@ -142,7 +157,7 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
         assert batch % n_data == 0, (
             f"the {n_data}-shard data axis must divide batch {batch}")
         b_loc = batch // n_data
-        op = make_fused_chain(layout, cols, batch=b_loc)
+        op = make(layout, cols, b_loc)
 
         def body_b(x):  # (b_loc, C, h_loc, Wp)
             if windowed:
@@ -162,7 +177,7 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
             check_vma=False))
         return fn, layout
 
-    op = make_fused_chain(layout, cols)
+    op = make(layout, cols)
 
     def body(x):  # x: (C, h_loc, Wp) local shard
         if windowed:

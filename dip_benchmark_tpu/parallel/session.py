@@ -178,9 +178,6 @@ class ShardedBenchmarkSession:
         padded edge IS the true image edge)."""
         if self.path != "pallas":
             raise ValueError("--fuse with --shards needs --path pallas")
-        if self.dtype != "uint8":
-            raise ValueError("sharded fused chains support the uint8 "
-                             "model (use --fuse without --shards for f32)")
         from ..models.chain import check_chain
         from ..utils.image import bake_mirror_cols
         from .pallas_ops import sharded_pallas_chain
@@ -206,7 +203,8 @@ class ShardedBenchmarkSession:
         planar = (base if pad == 0 else np.concatenate(
             [base, base[:, h - pad:][:, ::-1]], axis=1))
         fn, layout = sharded_pallas_chain(self.mesh, cols,
-                                          planar.shape[1], self.width)
+                                          planar.shape[1], self.width,
+                                          dtype=self.dtype)
         dev = _sync(jax.device_put(bake_mirror_cols(planar, layout),
                                    self.sharding))
         # expose to execution_table (sharded chains are shape-preserving)
@@ -219,10 +217,13 @@ class ShardedBenchmarkSession:
         def fetch():
             arr = np.asarray(self._sample)[:, :h]
             arr = arr[:, :, layout.pad_x:layout.pad_x + self.width]
+            if self.dtype == "float32":
+                from .. import oracle_f32
+                return oracle_f32.to_uint8_hwc(arr)
             return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
 
         from ..models.chain import chain_row_parts
-        desc, col, seq_oracle = chain_row_parts(cols)
+        desc, col, seq_oracle = chain_row_parts(cols, dtype=self.dtype)
         self._extra_oracles[col] = seq_oracle
         return Operation(desc, "chain", col, run, fetch)
 
@@ -270,7 +271,10 @@ class ShardedBenchmarkSession:
                 fn = oracle_f32.IMAGE_OPS_F32[col]
                 return lambda im: oracle_f32.to_uint8_hwc(
                     fn(oracle_f32.from_uint8_hwc(im)))
-            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+            base = {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+            if self._extra_oracles:  # chain rows' sequential f32 oracles
+                base = {**base, **self._extra_oracles}
+            return base
         from .. import native, oracle
         base = (native.image_ops() if native.available()
                 else oracle.IMAGE_OPS)

@@ -187,31 +187,26 @@ class BenchmarkSession:
         away. CAVEAT: rounds sync via block_until_ready, which on relay
         rigs acks enqueue without awaiting execution, so there this mode
         measures amortized SUBMISSION cost, not device work — use
-        execution_table (--exec) for true execution time. X-path only (its
-        ops are shape-preserving, which chaining requires); no image dumps
-        (outputs are k-fold applications, not the benchmark contract's
-        single application)."""
-        if self.path != "xla" or self.dtype != "uint8":
-            raise ValueError("--chained requires --path xla --dtype uint8")
-        import jax.numpy  # noqa: F401  (jax imported at module top)
+        execution_table (--exec) for true execution time. Works on every
+        path/model (since the round-2 shape-preserving scheme ALL device
+        ops map their layout to themselves, so chains compose on each of
+        the four surfaces); no image dumps (outputs are k-fold
+        applications, not the benchmark contract's single application)."""
         from jax import lax
 
         ops: list[Operation] = []
-        for desc, prefix, col in spec.OPERATION_MATRIX:
-            if col in ("Upload", "Download"):
-                continue
-            fn = xla.IMAGE_OPS[col]
+        cols = [t for t in spec.OPERATION_MATRIX
+                if t[2] not in ("Upload", "Download")]
+        if include_pipeline:
+            cols.append((
+                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "",
+                "Fused-Pipeline"))
+        for desc, _prefix, col in cols:
+            fn = self._ops_impl[col]
             chained = jax.jit(
                 lambda x, fn=fn: lax.fori_loop(0, k, lambda i, v: fn(v), x))
             ops.append(Operation(desc, "", col, self._make_run(chained),
                                  self._fetch_sample, time_scale=k))
-        if include_pipeline:
-            chained = jax.jit(lambda x: lax.fori_loop(
-                0, k, lambda i, v: xla.fused_pipeline(v), x))
-            ops.append(Operation(
-                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "",
-                "Fused-Pipeline", self._make_run(chained),
-                self._fetch_sample, time_scale=k))
         return ops
 
     def execution_table(self, include_pipeline: bool = False,

@@ -216,3 +216,35 @@ def test_f32_session_chain_operation(small_image):
     # chains appear in the f32 exec table too
     rows = session.execution_table(k1=2, k2=4, samples=1)
     assert rows[-1][0] == "Fused-Chain"
+
+
+def test_f32_chain_fuzz_random_sequences(rng):
+    """Fuzz the f32 chain compiler like the uint8 fuzzer: random op
+    sequences vs the sequential f32 oracle (atol 1 after quantization)."""
+    from dip_benchmark_tpu.models.chain import chain_radius, make_fused_chain_f32
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_planar_padded_f32)
+    from dip_benchmark_tpu import oracle_f32
+    pool = ["Copy", "Inversion", "Threshold", "Erosion-3x3-Cross",
+            "Erosion-3x3-Square", "Erosion-1x3+3x1-Square",
+            "Convolution-3x3", "Convolution-1x3+3x1", "Convolution-5x5",
+            "Convolution-1x5+5x1", "Gaussian-Blur-3x3"]
+    h, w = 40, 48
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    for trial in range(6):
+        n = int(rng.integers(1, 5))
+        cols = [pool[int(i)] for i in rng.integers(0, len(pool), n)]
+        if rng.integers(0, 2):
+            cols = ["Grayscale"] + cols
+        ry, rx = chain_radius(cols)
+        if max(ry, rx) > 8:
+            continue
+        layout = make_layout(h, w, halo=max(2, ry, rx))
+        fn = make_fused_chain_f32(layout, cols)
+        out = np.asarray(fn(jax.device_put(
+            to_planar_padded_f32(img, layout))))
+        py, px = layout.pad_y, layout.pad_x
+        got = oracle_f32.to_uint8_hwc(out[:, py:py + h, px:px + w])
+        want = _seq_f32(img, cols)
+        np.testing.assert_allclose(got.astype(int), want.astype(int),
+                                   atol=1, err_msg=f"trial {trial}: {cols}")

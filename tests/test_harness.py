@@ -140,8 +140,6 @@ def test_chained_mode(fundus_crop):
     runner = BenchmarkRunner(ops, rounds=1)
     results = runner.run(quiet=True)
     assert all(r.prefix == "" for r in results)
-    with pytest.raises(ValueError, match="chained"):
-        BenchmarkSession(fundus_crop, path="pallas").chained_operations(2)
 
 
 def test_execution_table(fundus_crop):
@@ -224,3 +222,17 @@ def test_render_exec_chart(tmp_path):
     out = render_exec_chart(str(csv_path), str(jpath),
                             str(tmp_path / "exec.png"))
     assert os.path.exists(out) and os.path.getsize(out) > 10000
+
+
+def test_chained_mode_all_surfaces(small_image):
+    """--chained is a measurement mode on every path/model (round 3):
+    each surface's ops are shape-preserving, so the k-chain compiles and
+    runs; time_scale divides the per-round report."""
+    for path in ("xla", "pallas"):
+        for dtype in ("uint8", "float32"):
+            s = BenchmarkSession(small_image, path=path, dtype=dtype)
+            table = s.chained_operations(2, include_pipeline=True)
+            assert len(table) == 13
+            assert all(op.time_scale == 2 for op in table)
+            table[0].run()
+            table[-1].run()

@@ -245,13 +245,21 @@ def test_sharded_chain_batched_2d_mesh():
         np.testing.assert_array_equal(got, want, err_msg=f"batch {b}")
 
 
-def test_sharded_f32_chain_rejected():
+def test_sharded_f32_chain():
+    """f32 fused chains SHARDED: the last cell of the surface matrix
+    (every surface x both data models)."""
     r = np.random.default_rng(13)
-    img = r.integers(0, 256, size=(32, 36, 3), dtype=np.uint8)
+    img = r.integers(0, 256, size=(43, 36, 3), dtype=np.uint8)
     session = ShardedBenchmarkSession(img, n_devices=8, path="pallas",
                                       dtype="float32")
-    with pytest.raises(ValueError, match="uint8"):
-        session.chain_operation(["Inversion"])
+    for cols in (["Grayscale", "Threshold", "Erosion-3x3-Square"],
+                 ["Inversion", "Convolution-5x5"]):
+        op = session.chain_operation(cols)
+        op.run()
+        got = op.fetch()
+        want = session.oracle_ops()[op.csv_column](img)
+        np.testing.assert_allclose(got.astype(int), want.astype(int),
+                                   atol=1, err_msg=str(cols))
 
 
 def test_cli_shards_f32(tmp_path):
