@@ -63,6 +63,36 @@ def exchange_row_halo(x: jnp.ndarray, halo: int,
     return jnp.concatenate([top, x, bot], axis=1)
 
 
+def refresh_resident_halo(buf: jnp.ndarray, pad_y: int, h_loc: int,
+                          axis_name: str = "space") -> jnp.ndarray:
+    """Refresh the halo rows of a PADDED-RESIDENT shard buffer in place
+    (via dynamic_update_slice): rows [0, pad_y) get the previous shard's
+    bottom valid rows, rows [pad_y + h_loc, pad_y + h_loc + pad_y) the
+    next shard's top valid rows, with the spec mirror rule on the global
+    edges. Strips travel over ICI (lax.ppermute); only 2*pad_y rows move
+    per application — vs the whole-shard concat+pad+slice of the
+    non-resident lift, measured 2.5x slower per application at fundus
+    size (benchmarks/tuning/sharded_resident_lab.py). Must be called
+    inside shard_map over `axis_name`; valid rows live at
+    [pad_y, pad_y + h_loc)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    valid = buf[:, pad_y:pad_y + h_loc]
+    top_mirror = _mirror_rows_low(valid, pad_y)
+    bot_mirror = _mirror_rows_high(valid, pad_y)
+    if n == 1:
+        top, bot = top_mirror, bot_mirror
+    else:
+        from_prev = lax.ppermute(valid[:, h_loc - pad_y:], axis_name,
+                                 [(i, i + 1) for i in range(n - 1)])
+        from_next = lax.ppermute(valid[:, :pad_y], axis_name,
+                                 [(i + 1, i) for i in range(n - 1)])
+        top = jnp.where(idx == 0, top_mirror, from_prev)
+        bot = jnp.where(idx == n - 1, bot_mirror, from_next)
+    buf = lax.dynamic_update_slice(buf, top, (0, 0, 0))
+    return lax.dynamic_update_slice(buf, bot, (0, pad_y + h_loc, 0))
+
+
 def sharded_op(local_fn, mesh: Mesh, halo: int):
     """Lift local_fn((C, h+2*halo, W) padded-rows shard) -> (C, h, W) into a
     global (C, H, W) -> (C, H, W) op over the mesh's space axis."""

@@ -49,15 +49,28 @@ def _shard_layout(h_loc: int, width: int, halo: int | None = None,
 def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
                              axis: str = "space", dtype: str = "uint8"
                              ) -> tuple[dict, PlanarLayout]:
-    """CSV-column-keyed jitted ops over (C, height, Wp) arrays row-sharded
-    on `axis`. height must divide the axis size. Returns the op dict and
-    the per-shard layout (whose padded_width defines Wp).
+    """CSV-column-keyed jitted ops over the PADDED-RESIDENT sharded model:
+    the global array is (C, n*Hp, Wp) with each shard's block its FULL
+    padded local layout (assemble with utils.image.to_resident_planar).
+    height must divide the axis size. Returns the op dict and the
+    per-shard layout (Hp/Wp = its padded_height/padded_width).
+
+    Round-3 redesign: the previous lift assembled a fresh padded buffer
+    per application (halo concat + jnp.pad + output re-slice — three
+    whole-shard materializations, ~2.5x the kernel's own cost at fundus
+    size). Resident buffers make an application exactly
+    refresh_resident_halo (2*pad_y-row ICI strips, windowed ops only) +
+    the unmodified shape-preserving kernel — measured 387 -> 152 us for
+    erosion at 1 shard (benchmarks/tuning/sharded_resident_lab.py),
+    bit-exact through chained applications. Point ops skip the refresh
+    entirely: elementwise maps commute with the mirror/neighbor halo
+    content, so their halo rows stay consistent by construction.
 
     dtype "uint8" (primary) or "float32": the CUDA.jl-parity planar [0,1]
-    model runs the SAME lift over ops/pallas/f32.py's hand-written f32
-    kernels — ppermute/pad/slice are dtype-generic, so nothing else
-    changes (the halo rows a neighbor sends are its real f32 rows)."""
+    model runs the SAME scheme over ops/pallas/f32.py's kernels —
+    ppermute/update-slice are dtype-generic."""
     from ..ops import pallas as pallas_ops
+    from .halo import refresh_resident_halo
 
     n = mesh.shape[axis]
     assert height % n == 0, (
@@ -70,25 +83,16 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
         local = pallas_ops.build_ops(layout)
     else:
         raise ValueError(f"Unknown dtype: {dtype!r}")
-    hp = layout.padded_height
     point_cols = set(pallas_ops.POINT_COLS)
 
     def lift(col):
         op = local[col]
         windowed = col not in point_cols
 
-        def body(x):  # x: (C, h_loc, Wp) local shard
+        def body(buf):  # buf: (C, Hp, Wp) resident local block
             if windowed:
-                x = exchange_row_halo(x, layout.pad_y, axis)
-            buf = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, 0)))
-            out = op(buf)
-            if windowed:
-                # shape-preserving kernels: valid rows sit at [pad_y,
-                # pad_y + h_loc), mirroring the assembled input buffer.
-                return out[:, layout.pad_y:layout.pad_y + h_loc]
-            # point ops are elementwise: rows stay wherever the (halo-less)
-            # input buffer put them, i.e. [0, h_loc).
-            return out[:, :h_loc]
+                buf = refresh_resident_halo(buf, layout.pad_y, h_loc, axis)
+            return op(buf)
 
         # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
         # varying-mesh-axes annotation; the specs above state it explicitly.
@@ -113,10 +117,13 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     neighbor's interior computation, and the global mirror rule applies
     only on edge shards (the models/chain.py induction argument).
 
-    Input/output: (C, height, Wp) uint8 row-sharded on `axis`, with
-    mirror COLUMNS baked at the returned layout's pad_x (bake with
-    bake_mirror_cols(..., layout)). height must divide the axis size and
-    each shard must be taller than the chain radius.
+    Input/output (batch=0): the PADDED-RESIDENT model — (C, n*Hp, Wp)
+    with each shard's block its full padded local layout at the CHAIN's
+    halo (assemble with to_resident_planar(planar, layout, n)); per
+    application only the chain-radius halo strips travel
+    (refresh_resident_halo), like build_sharded_pallas_ops. height must
+    divide the axis size and each shard must be taller than the chain
+    radius.
 
     batch=B serves a (B, C, height, Wp) stack over the full 2-D
     (data, space) mesh — batch shards over `data_axis`, rows over `axis`,
@@ -178,15 +185,12 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
         return fn, layout
 
     op = make(layout, cols)
+    from .halo import refresh_resident_halo
 
-    def body(x):  # x: (C, h_loc, Wp) local shard
+    def body(buf):  # buf: (C, Hp, Wp) resident local block
         if windowed:
-            x = exchange_row_halo(x, layout.pad_y, axis)
-        buf = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, 0)))
-        out = op(buf)
-        if windowed:
-            return out[:, layout.pad_y:layout.pad_y + h_loc]
-        return out[:, :h_loc]
+            buf = refresh_resident_halo(buf, layout.pad_y, h_loc, axis)
+        return op(buf)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -81,11 +81,14 @@ class ShardedBenchmarkSession:
         self.host_planar = np.ascontiguousarray(planar)
         self.sharding = NamedSharding(self.mesh, P(None, "space", None))
         if path == "pallas":
-            from ..utils.image import bake_mirror_cols
+            from ..utils.image import to_resident_planar
             from .pallas_ops import build_sharded_pallas_ops
             self._ops, self.layout = build_sharded_pallas_ops(
                 self.mesh, planar.shape[1], w, dtype=dtype)
-            dev_buf = bake_mirror_cols(planar, self.layout)
+            # PADDED-RESIDENT device model (round 3): each shard stores
+            # its full padded local layout, so ops pay only the halo-strip
+            # refresh per application (parallel/pallas_ops.py docstring).
+            dev_buf = to_resident_planar(planar, self.layout, n)
         elif path == "xla":
             if dtype == "float32":
                 from .ops import build_sharded_ops_f32
@@ -96,6 +99,8 @@ class ShardedBenchmarkSession:
             dev_buf = self.host_planar
         else:
             raise ValueError(f"Unknown path: {path!r} (want pallas|xla)")
+        self.n_shards = n
+        self.h_loc = planar.shape[1] // n
         self.planar_dev = _sync(jax.device_put(dev_buf, self.sharding))
         self._sample = None
         self._extra_oracles: dict = {}
@@ -112,10 +117,19 @@ class ShardedBenchmarkSession:
             from ..runtime.transfer import make_chunked_download
             crop = None
             if self.layout is not None:
-                # crop the lane padding on DEVICE so the timed D2H moves
-                # the image bytes, comparable with the xla path's row
-                px, vw = self.layout.pad_x, self.width
-                crop = (lambda x: x[:, :, px:px + vw])
+                # extract valid rows + crop lane padding on DEVICE so the
+                # timed D2H moves the image bytes, comparable with the
+                # xla path's row (resident model: valid rows sit at
+                # [pad_y, pad_y + h_loc) of each shard's padded block)
+                py, px = self.layout.pad_y, self.layout.pad_x
+                hp, vw = self.layout.padded_height, self.width
+                n, hl = self.n_shards, self.h_loc
+
+                def crop(x):
+                    c, total, wp = x.shape
+                    blocks = x.reshape(c, n, hp, wp)
+                    valid = blocks[:, :, py:py + hl]
+                    return valid.reshape(c, n * hl, wp)[:, :, px:px + vw]
             self._chunked_dl = make_chunked_download(
                 self.planar_dev, crop, axis=1)
         return self._chunked_dl()
@@ -136,10 +150,13 @@ class ShardedBenchmarkSession:
         return run
 
     def _fetch(self) -> np.ndarray:
-        arr = np.asarray(self._sample)[:, :self.valid_height]
-        if self.layout is not None:  # pallas path: crop the column padding
-            px = self.layout.pad_x
-            arr = arr[:, :, px:px + self.width]
+        if self.layout is not None:  # pallas path: resident model
+            from ..utils.image import from_resident_planar
+            arr = from_resident_planar(
+                np.asarray(self._sample), self.layout, self.n_shards,
+                self.h_loc, height=self.valid_height)
+        else:
+            arr = np.asarray(self._sample)[:, :self.valid_height]
         if self.dtype == "float32":
             from .. import oracle_f32
             return oracle_f32.to_uint8_hwc(arr)
@@ -179,7 +196,7 @@ class ShardedBenchmarkSession:
         if self.path != "pallas":
             raise ValueError("--fuse with --shards needs --path pallas")
         from ..models.chain import check_chain
-        from ..utils.image import bake_mirror_cols
+        from ..utils.image import to_resident_planar
         from .pallas_ops import sharded_pallas_chain
 
         ry, rx = check_chain(cols)
@@ -205,18 +222,22 @@ class ShardedBenchmarkSession:
         fn, layout = sharded_pallas_chain(self.mesh, cols,
                                           planar.shape[1], self.width,
                                           dtype=self.dtype)
-        dev = _sync(jax.device_put(bake_mirror_cols(planar, layout),
-                                   self.sharding))
+        # resident model at the CHAIN's halo (chain layouts have pad_y =
+        # max(2, ry, rx), so the chain gets its own resident buffer)
+        dev = _sync(jax.device_put(
+            to_resident_planar(planar, layout, n), self.sharding))
         # expose to execution_table (sharded chains are shape-preserving)
         self._chain_exec = (fn, dev)
         op = AotOp(fn) if hasattr(fn, "lower") else fn
+        h_loc = planar.shape[1] // n
 
         def run():
             self._sample = _sync(op(dev))
 
         def fetch():
-            arr = np.asarray(self._sample)[:, :h]
-            arr = arr[:, :, layout.pad_x:layout.pad_x + self.width]
+            from ..utils.image import from_resident_planar
+            arr = from_resident_planar(np.asarray(self._sample), layout,
+                                       n, h_loc, height=h)
             if self.dtype == "float32":
                 from .. import oracle_f32
                 return oracle_f32.to_uint8_hwc(arr)

@@ -89,7 +89,8 @@ def test_sharded_pallas_chain_matches_sequential_oracle():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dip_benchmark_tpu.parallel import make_mesh
     from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_chain
-    from dip_benchmark_tpu.utils.image import bake_mirror_cols
+    from dip_benchmark_tpu.utils.image import (from_resident_planar,
+                                               to_resident_planar)
 
     mesh = make_mesh(n_space=8)
     rng = np.random.default_rng(11)
@@ -99,11 +100,12 @@ def test_sharded_pallas_chain_matches_sequential_oracle():
                   "Gaussian-Blur-3x3"],
                  ["Convolution-5x5", "Inversion", "Convolution-3x3"]):
         fn, layout = sharded_pallas_chain(mesh, cols, h, w)
-        planar = bake_mirror_cols(np.transpose(img, (2, 0, 1)), layout)
+        planar = to_resident_planar(np.transpose(img, (2, 0, 1)),
+                                    layout, 8)
         xdev = jax.device_put(
             planar, NamedSharding(mesh, P(None, "space", None)))
         out = np.asarray(jax.block_until_ready(fn(xdev)))
-        got = np.transpose(out[:, :h, layout.pad_x:layout.pad_x + w],
+        got = np.transpose(from_resident_planar(out, layout, 8, h // 8, h),
                            (1, 2, 0))
         want = img
         for c in cols:
