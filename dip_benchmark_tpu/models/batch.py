@@ -80,7 +80,6 @@ def _dispatch_sharded_chain(images: np.ndarray, cols: tuple[str, ...],
     data-axis size by repeating the last image (cropped on fetch)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .. import spec
     from .chain import check_chain
     b, h, w, _ = images.shape
     n_space = mesh.shape["space"]
@@ -104,9 +103,8 @@ def _dispatch_sharded_chain(images: np.ndarray, cols: tuple[str, ...],
             [stack, stack[:, h - pad:][:, ::-1]], axis=1)
     planar = np.transpose(stack, (0, 3, 1, 2))  # (Bp, C, Hs, W)
     fn, layout = _sharded_chain(mesh, cols, h + pad, w, b + bpad)
-    xs = np.clip(spec.mirror_index(
-        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
-    baked = np.ascontiguousarray(planar[:, :, :, xs])
+    from ..utils.image import bake_mirror_cols
+    baked = bake_mirror_cols(planar, layout)
     sharding = NamedSharding(mesh, P("data", None, "space", None))
     out = fn(jax.device_put(baked, sharding))
     return ("sharded", layout, (h, w, b), out)

@@ -69,8 +69,23 @@ class BenchmarkSession:
             raise ValueError(f"Unknown dtype: {dtype!r}")
 
         # (a) initial upload — session state, untimed (the timed Upload op
-        # re-does this transfer every round).
-        self.image_dev = _sync(jax.device_put(self.host_image, self.device))
+        # re-does this transfer every round). The memory-op payload is the
+        # data model's working buffer: uint8 HWC image bytes for the
+        # primary model; the UNPADDED f32 planar for --dtype float32
+        # (CUDA.jl uploads the host-converted Float32 array,
+        # cuda/benchmark.jl:171-173) — matching the sharded session so the
+        # two surfaces' Upload/Download rows are comparable.
+        if dtype == "float32":
+            from . import oracle_f32
+            self._mem_host = oracle_f32.from_uint8_hwc(self.host_image)
+            self.image_dev = None  # the u8 image is not device state here
+            self._mem_dev = _sync(jax.device_put(self._mem_host,
+                                                 self.device))
+        else:
+            self._mem_host = self.host_image
+            self.image_dev = _sync(jax.device_put(self.host_image,
+                                                  self.device))
+            self._mem_dev = self.image_dev
         # NOTE: deliberately NO device->host transfer here — one D2H flips
         # tunneled PJRT rigs into a degraded mode that slows every later
         # dispatch ~500x, so all D2H is deferred to the harness's post-
@@ -123,12 +138,12 @@ class BenchmarkSession:
     # -- memory ops --------------------------------------------------------
 
     def _upload(self):
-        return _sync(jax.device_put(self.host_image, self.device))
+        return _sync(jax.device_put(self._mem_host, self.device))
 
     def _download(self):
         if self._chunked_dl is None:
             from .runtime.transfer import make_chunked_download
-            self._chunked_dl = make_chunked_download(self.image_dev)
+            self._chunked_dl = make_chunked_download(self._mem_dev)
         return self._chunked_dl()
 
     def _download_prepare(self):
@@ -201,6 +216,19 @@ class BenchmarkSession:
             cols.append((
                 "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "",
                 "Fused-Pipeline"))
+        # Shape preservation is DETECTED, not assumed (like
+        # execution_table's banded_cols): a future shape-changing op gets
+        # a clear error here instead of an opaque fori_loop carry
+        # mismatch at trace time.
+        src = self._device_input()
+        banded = [col for _, _, col in cols
+                  if jax.eval_shape(self._ops_impl[col], src).shape
+                  != src.shape]
+        if banded:
+            raise ValueError(
+                f"--chained requires shape-preserving ops; {banded} "
+                f"change the device-layout shape (use --exec, whose "
+                f"banded chain re-inserts per iteration)")
         for desc, _prefix, col in cols:
             fn = self._ops_impl[col]
             chained = jax.jit(

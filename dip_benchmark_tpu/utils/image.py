@@ -136,24 +136,30 @@ def to_planar_padded(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     """HWC uint8 -> (C, Hp, Wp) uint8 with mirror halo baked in."""
     h, w, c = image.shape
     assert (h, w, c) == (layout.height, layout.width, layout.channels)
-    hp, wp = layout.padded_height, layout.padded_width
+    hp = layout.padded_height
     ys = spec.mirror_index(np.arange(hp) - layout.pad_y, h)
-    xs = spec.mirror_index(np.arange(wp) - layout.pad_x, w)
     # Alignment slack beyond h + pad_y mirrors too (harmless; never read).
     ys = np.clip(ys, 0, h - 1)
-    xs = np.clip(xs, 0, w - 1)
+    xs = mirror_col_index(layout)
     planar = np.transpose(image, (2, 0, 1))  # (C, H, W)
     return np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]])
+
+
+def mirror_col_index(layout: PlanarLayout) -> np.ndarray:
+    """Column gather indices for the lane-padded width: source column of
+    every padded column (mirror halo + clamped alignment slack). The ONE
+    copy of the padded-column rule — bake_mirror_cols, to_resident_planar
+    and the batch tool all index through it."""
+    return np.clip(spec.mirror_index(
+        np.arange(layout.padded_width) - layout.pad_x, layout.width),
+        0, layout.width - 1)
 
 
 def bake_mirror_cols(planar: np.ndarray, layout: PlanarLayout) -> np.ndarray:
     """(C, H, W) -> (C, H, Wp): mirror halo columns baked, lane-aligned.
     Rows untouched (the sharded path receives row halo over ICI instead)."""
-    w = layout.width
-    assert planar.shape[2] == w
-    xs = np.clip(spec.mirror_index(
-        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
-    return np.ascontiguousarray(planar[:, :, xs])
+    assert planar.shape[-1] == layout.width
+    return np.ascontiguousarray(planar[..., mirror_col_index(layout)])
 
 
 def to_resident_planar(planar: np.ndarray, layout: PlanarLayout,
@@ -172,8 +178,7 @@ def to_resident_planar(planar: np.ndarray, layout: PlanarLayout,
     assert (layout.height, layout.width) == (h_loc, w), (
         "layout must be the per-shard layout")
     hp = layout.padded_height
-    xs = np.clip(spec.mirror_index(
-        np.arange(layout.padded_width) - layout.pad_x, w), 0, w - 1)
+    xs = mirror_col_index(layout)
     blocks = []
     for i in range(n):
         ys = np.clip(spec.mirror_index(

@@ -93,10 +93,14 @@ def render_exec_chart(csv_path: str, bench_json_path: str,
     tools, data = read_results(csv_path)
     with open(bench_json_path) as f:
         bench = json.load(f)
-    ops_json = bench.get("parsed", bench).get(
-        "ops", bench.get("parsed", bench))
+    # Strict schema: a bench JSON (top-level "ops") or a driver record
+    # wrapping one under "parsed". Anything else is a caller error that
+    # must fail loudly, not render an empty chart.
+    ops_json = (bench["parsed"] if "parsed" in bench else bench)["ops"]
     exec_us = {col: d["exec_us"] for col, d in ops_json.items()
                if isinstance(d, dict) and d.get("exec_us")}
+    if not exec_us:
+        raise ValueError(f"{bench_json_path} has no per-op exec_us rows")
     ops = [op for op in data
            if op not in ("Upload", "Download") and op in exec_us]
     ref_tools = [t for t in tools if not t.startswith("TPU")]
