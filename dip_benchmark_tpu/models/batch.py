@@ -103,11 +103,12 @@ def _dispatch_sharded_chain(images: np.ndarray, cols: tuple[str, ...],
             [stack, stack[:, h - pad:][:, ::-1]], axis=1)
     planar = np.transpose(stack, (0, 3, 1, 2))  # (Bp, C, Hs, W)
     fn, layout = _sharded_chain(mesh, cols, h + pad, w, b + bpad)
-    from ..utils.image import bake_mirror_cols
-    baked = bake_mirror_cols(planar, layout)
+    from ..utils.image import to_resident_planar
+    baked = to_resident_planar(planar, layout, n_space)
     sharding = NamedSharding(mesh, P("data", None, "space", None))
     out = fn(jax.device_put(baked, sharding))
-    return ("sharded", layout, (h, w, b), out)
+    return ("sharded", layout, (h, w, b, n_space, (h + pad) // n_space),
+            out)
 
 
 def _dispatch_batch(images: np.ndarray, csv_column,
@@ -162,10 +163,12 @@ def _fetch_batch(token) -> np.ndarray:
     if kind == "xla":
         return out
     if kind == "sharded":
-        # per-shard outputs are re-sliced to their valid rows, so global
-        # image row 0 is array row 0; crop row/batch padding + lane cols
-        h, w, b = hw
-        valid = out[:b, :, :h, layout.pad_x:layout.pad_x + w]
+        # resident stacks: extract each shard block's valid rows, crop
+        # batch/row padding + lane cols (utils.image.from_resident_planar)
+        from ..utils.image import from_resident_planar
+        h, w, b, n_space, h_loc = hw
+        valid = from_resident_planar(out, layout, n_space, h_loc,
+                                     height=h)[:b]
         return np.ascontiguousarray(np.transpose(valid, (0, 2, 3, 1)))
     # shape-preserving output: image row 0 sits at padded row pad_y
     h, w = hw

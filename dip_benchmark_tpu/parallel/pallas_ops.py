@@ -1,32 +1,34 @@
 """Sharded ops backed by the hand-written Pallas kernels.
 
 parallel/ops.py lifts plain jnp/lax bodies over the mesh — the library-call
-analogue. This module lifts the P-path kernels themselves: rows shard over
-the mesh's space axis, `lax.ppermute` exchanges halo rows over ICI
-(parallel/halo.py), and each shard assembles a LOCAL planar padded buffer
-(the same layout the single-device kernels run on) with the received halo
-occupying the mirror-pad rows — the kernels cannot tell a neighbor's rows
-from baked mirror rows, so they run unmodified and stay bit-exact:
+analogue. This module runs the P-path kernels themselves on the
+PADDED-RESIDENT sharded model (round 3): every shard's block of the global
+array IS its full padded local layout,
 
-    shard rows:  [top halo (pad_y) | valid h_loc | bottom halo | zero slack]
-                  ^ from prev dev / global mirror on the edge shard
+    shard block: [top halo (pad_y) | valid h_loc | bottom halo | slack]
+                  ^ refreshed per application from the neighbor's valid
+                    edge rows over ICI (lax.ppermute + update-slice), or
+                    the global mirror rule on edge shards
 
-Data model: the global device array is (C, H, Wp) uint8 — columns mirror-
-padded and lane-aligned exactly like the single-device planar layout, rows
-UNPADDED and sharded evenly (pad_y rows of halo travel over ICI instead of
-living in HBM). Assembly is a bottom-only jnp.pad (row 0 stays tile-aligned;
-an unaligned row offset would cost a whole-array sublane shuffle,
-docs/DESIGN.md §4.4).
+so an application costs only the 2*pad_y halo-row strip refresh
+(parallel/halo.refresh_resident_halo; point ops skip even that) plus the
+UNMODIFIED single-device kernel — the kernels cannot tell a neighbor's
+rows from baked mirror rows, so everything stays bit-exact, and because
+the kernels are shape-preserving on the padded layout, sharded ops
+compose (exec chains, fused chains) with strip-sized upkeep per stage.
+Assemble device buffers with utils.image.to_resident_planar; read back
+with from_resident_planar. Measured on hardware: the distributed table
+runs at single-device kernel cost, 2.3-4.6x over the round-2
+assemble-per-call lift (docs/RESULTS_ROUND3.md §9, DESIGN.md §5).
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.image import PlanarLayout, make_layout, round_up
-from .halo import exchange_row_halo
+from .halo import refresh_resident_halo
 
 
 def _shard_layout(h_loc: int, width: int, halo: int | None = None,
@@ -70,7 +72,6 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
     model runs the SAME scheme over ops/pallas/f32.py's kernels —
     ppermute/update-slice are dtype-generic."""
     from ..ops import pallas as pallas_ops
-    from .halo import refresh_resident_halo
 
     n = mesh.shape[axis]
     assert height % n == 0, (
@@ -125,12 +126,15 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     divide the axis size and each shard must be taller than the chain
     radius.
 
-    batch=B serves a (B, C, height, Wp) stack over the full 2-D
+    batch=B serves a (B, C, n*Hp, Wp) RESIDENT stack over the full 2-D
     (data, space) mesh — batch shards over `data_axis`, rows over `axis`,
-    and each shard runs the BATCHED chain kernel
-    (make_fused_chain(batch=b_loc), leading batch grid axis) on its local
-    stack: the chain analogue of sharded_pallas_pipeline, serving whole
-    directories of images across chips in one dispatch per chunk.
+    each image's row-shards stored as their padded local layouts
+    (to_resident_planar on the stack); per application the halo strips
+    refresh (vmapped over the local batch) and each shard runs the
+    BATCHED chain kernel (make_fused_chain(batch=b_loc), leading batch
+    grid axis) on its local stack: the chain analogue of
+    sharded_pallas_pipeline, serving whole directories of images across
+    chips in one dispatch per chunk.
 
     dtype "float32" shards the f32-model chain (make_fused_chain_f32) the
     same way — the exchanged halo rows are the neighbor's real f32 rows,
@@ -156,7 +160,6 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     halo = max(2, ry, rx)
     layout = _shard_layout(h_loc, width, halo=halo,
                            what=f"a radius-{halo} chain's halo exchange")
-    hp = layout.padded_height
     windowed = ry > 0  # point-only chains need no ICI halo (cf. lift())
 
     if batch:
@@ -166,16 +169,11 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
         b_loc = batch // n_data
         op = make(layout, cols, b_loc)
 
-        def body_b(x):  # (b_loc, C, h_loc, Wp)
+        def body_b(x):  # (b_loc, C, Hp, Wp) resident local stack
             if windowed:
-                x = jax.vmap(lambda im: exchange_row_halo(
-                    im, layout.pad_y, axis))(x)
-            buf = jnp.pad(x, ((0, 0), (0, 0), (0, hp - x.shape[2]),
-                              (0, 0)))
-            out = op(buf)
-            if windowed:
-                return out[:, :, layout.pad_y:layout.pad_y + h_loc]
-            return out[:, :, :h_loc]
+                x = jax.vmap(lambda im: refresh_resident_halo(
+                    im, layout.pad_y, h_loc, axis))(x)
+            return op(x)
 
         fn = jax.jit(jax.shard_map(
             body_b, mesh=mesh,
@@ -185,7 +183,6 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
         return fn, layout
 
     op = make(layout, cols)
-    from .halo import refresh_resident_halo
 
     def body(buf):  # buf: (C, Hp, Wp) resident local block
         if windowed:
@@ -204,13 +201,13 @@ def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
                             data_axis: str = "data",
                             space_axis: str = "space"):
     """The flagship fused pipeline on a 2-D (data, space) mesh with the
-    Pallas kernel: batch shards over `data_axis`, rows over `space_axis`
-    (ppermute halo), and each shard runs the natively BATCHED pipeline
-    kernel (models.pipeline batch= grid dim) on its local stack.
-
-    Input/output: (B, C, height, Wp) uint8, Wp = layout.padded_width with
-    mirror columns baked (same convention as build_sharded_pallas_ops).
-    Returns (apply_fn, per-shard layout)."""
+    Pallas kernel: batch shards over `data_axis`, rows over `space_axis`,
+    and each shard runs the natively BATCHED pipeline kernel
+    (models.pipeline batch= grid dim) on its local RESIDENT stack —
+    (B, C, n*Hp, Wp) with to_resident_planar-assembled blocks, halo
+    strips refreshed per application (vmapped refresh_resident_halo),
+    like the batched sharded chain. Returns (apply_fn, per-shard
+    layout)."""
     from ..models.pipeline import make_fused_pipeline_pallas
 
     n_space = mesh.shape[space_axis]
@@ -219,14 +216,12 @@ def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
     h_loc = height // n_space
     b_loc = batch // n_data
     layout = _shard_layout(h_loc, width)
-    hp = layout.padded_height
     op = make_fused_pipeline_pallas(layout, batch=b_loc)
 
-    def body(x):  # (b_loc, C, h_loc, Wp)
-        xh = jax.vmap(lambda im: exchange_row_halo(im, layout.pad_y,
-                                                   space_axis))(x)
-        buf = jnp.pad(xh, ((0, 0), (0, 0), (0, hp - xh.shape[2]), (0, 0)))
-        return op(buf)[:, :, layout.pad_y:layout.pad_y + h_loc]
+    def body(x):  # (b_loc, C, Hp, Wp) resident local stack
+        xh = jax.vmap(lambda im: refresh_resident_halo(
+            im, layout.pad_y, h_loc, space_axis))(x)
+        return op(xh)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,

@@ -164,15 +164,16 @@ def bake_mirror_cols(planar: np.ndarray, layout: PlanarLayout) -> np.ndarray:
 
 def to_resident_planar(planar: np.ndarray, layout: PlanarLayout,
                        n: int) -> np.ndarray:
-    """(C, H, W) -> (C, n*Hp, Wp): the PADDED-RESIDENT sharded layout —
+    """(..., H, W) -> (..., n*Hp, Wp): the PADDED-RESIDENT sharded layout —
     each of the n row-shards stored as its FULL padded local layout
     (mirror columns baked; halo rows filled with the neighbor's rows, or
     the global mirror on edge shards), stacked along rows so a
-    P(None, 'space', None) sharding gives every shard exactly its own
+    P(..., 'space', None) sharding gives every shard exactly its own
     padded buffer. Per-application halo upkeep is then only the 2*pad_y
     strip refresh (parallel/halo.refresh_resident_halo) instead of a
-    whole-shard reassembly. H must divide by n."""
-    c, h, w = planar.shape
+    whole-shard reassembly. H must divide by n; leading dims (channels,
+    batch stacks) pass through."""
+    h, w = planar.shape[-2:]
     assert h % n == 0, f"{n} shards must divide height {h}"
     h_loc = h // n
     assert (layout.height, layout.width) == (h_loc, w), (
@@ -183,25 +184,26 @@ def to_resident_planar(planar: np.ndarray, layout: PlanarLayout,
     for i in range(n):
         ys = np.clip(spec.mirror_index(
             i * h_loc + np.arange(hp) - layout.pad_y, h), 0, h - 1)
-        blocks.append(planar[:, ys[:, None], xs[None, :]])
-    return np.ascontiguousarray(np.concatenate(blocks, axis=1))
+        blocks.append(planar[..., ys[:, None], xs[None, :]])
+    return np.ascontiguousarray(np.concatenate(blocks, axis=-2))
 
 
 def from_resident_planar(resident: np.ndarray, layout: PlanarLayout,
                          n: int, h_loc: int,
                          height: int | None = None) -> np.ndarray:
-    """(C, n*Hp, Wp) resident array -> (C, height, W) planar: extract each
-    shard's valid rows ([pad_y, pad_y + h_loc) of its block), concatenate,
-    crop the lane padding and any session row-padding (height < n*h_loc)."""
-    c, total, wp = resident.shape
+    """(..., n*Hp, Wp) resident array -> (..., height, W) planar: extract
+    each shard's valid rows ([pad_y, pad_y + h_loc) of its block),
+    concatenate, crop the lane padding and any session row-padding
+    (height < n*h_loc)."""
+    *lead, total, wp = resident.shape
     hp = layout.padded_height
     assert total == n * hp, (total, n, hp)
     py, px = layout.pad_y, layout.pad_x
-    stacked = resident.reshape(c, n, hp, wp)
-    valid = stacked[:, :, py:py + h_loc].reshape(c, n * h_loc, wp)
+    stacked = resident.reshape(*lead, n, hp, wp)
+    valid = stacked[..., py:py + h_loc, :].reshape(*lead, n * h_loc, wp)
     if height is not None:
-        valid = valid[:, :height]
-    return np.ascontiguousarray(valid[:, :, px:px + layout.width])
+        valid = valid[..., :height, :]
+    return np.ascontiguousarray(valid[..., px:px + layout.width])
 
 
 def to_planar_padded_f32(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:

@@ -61,21 +61,22 @@ def test_sharded_pallas_pipeline_2d_mesh():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dip_benchmark_tpu.parallel import make_mesh
     from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_pipeline
-    from dip_benchmark_tpu.utils.image import bake_mirror_cols
+    from dip_benchmark_tpu.utils.image import (from_resident_planar,
+                                               to_resident_planar)
 
     mesh = make_mesh(n_space=4, n_data=2)
     rng = np.random.default_rng(9)
     B, h, w = 4, 24, 52
     batch = rng.integers(0, 256, (B, h, w, 3), np.uint8)
     fn, layout = sharded_pallas_pipeline(mesh, B, h, w)
-    planar = np.stack([bake_mirror_cols(np.transpose(im, (2, 0, 1)), layout)
-                       for im in batch])
+    planar = to_resident_planar(np.transpose(batch, (0, 3, 1, 2)),
+                                layout, 4)
     xdev = jax.device_put(
         planar, NamedSharding(mesh, P("data", None, "space", None)))
     out = np.asarray(jax.block_until_ready(fn(xdev)))
+    valid = from_resident_planar(out, layout, 4, h // 4, h)
     for b in range(B):
-        got = np.transpose(
-            out[b][:, :h, layout.pad_x:layout.pad_x + w], (1, 2, 0))
+        got = np.transpose(valid[b], (1, 2, 0))
         np.testing.assert_array_equal(
             got, oracle.IMAGE_OPS["Fused-Pipeline"](batch[b]))
 
@@ -224,7 +225,8 @@ def test_sharded_chain_batched_2d_mesh():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dip_benchmark_tpu.parallel import make_mesh
     from dip_benchmark_tpu.parallel.pallas_ops import sharded_pallas_chain
-    from dip_benchmark_tpu.utils.image import bake_mirror_cols
+    from dip_benchmark_tpu.utils.image import (from_resident_planar,
+                                               to_resident_planar)
 
     mesh = make_mesh(n_space=4, n_data=2)
     r = np.random.default_rng(12)
@@ -233,14 +235,14 @@ def test_sharded_chain_batched_2d_mesh():
     cols = ["Grayscale", "Threshold", "Erosion-3x3-Square",
             "Gaussian-Blur-3x3"]
     fn, layout = sharded_pallas_chain(mesh, cols, h, w, batch=B)
-    planar = np.stack([bake_mirror_cols(np.transpose(im, (2, 0, 1)), layout)
-                       for im in stack])
+    planar = to_resident_planar(np.transpose(stack, (0, 3, 1, 2)),
+                                layout, 4)
     xdev = jax.device_put(
         planar, NamedSharding(mesh, P("data", None, "space", None)))
     out = np.asarray(jax.block_until_ready(fn(xdev)))
+    valid = from_resident_planar(out, layout, 4, h // 4, h)
     for b in range(B):
-        got = np.transpose(out[b][:, :h, layout.pad_x:layout.pad_x + w],
-                           (1, 2, 0))
+        got = np.transpose(valid[b], (1, 2, 0))
         want = stack[b]
         for c in cols:
             want = oracle.IMAGE_OPS[c](want)
