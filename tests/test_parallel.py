@@ -72,3 +72,55 @@ def test_sharded_fused_pipeline_bit_exact(devices_ok, gradient_image):
     for b in range(2):
         ref = _planar(oracle.fused_pipeline(batch[b]))
         np.testing.assert_array_equal(got[b], ref, err_msg=f"batch {b}")
+
+
+def test_refresh_resident_halo_matches_exchange(devices_ok, gradient_image):
+    """The resident halo refresh writes exactly the rows exchange_row_halo
+    would attach: ppermute strips from neighbors, global mirror on edge
+    shards — verified strip-by-strip on the 8-way mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dip_benchmark_tpu.parallel import make_mesh
+    from dip_benchmark_tpu.parallel.halo import (exchange_row_halo,
+                                                 refresh_resident_halo)
+
+    mesh = make_mesh(n_space=8)
+    h, w, py = 24, 40, 2
+    planar = np.transpose(gradient_image[:h, :w], (2, 0, 1))
+    h_loc = h // 8
+    hp = h_loc + 2 * py + 3  # valid rows at [py, py+h_loc) + slack
+
+    # resident buffers with GARBAGE halo rows (the refresh must fix them)
+    blocks = []
+    for i in range(8):
+        blk = np.full((3, hp, w), 77, np.uint8)
+        blk[:, py:py + h_loc] = planar[:, i * h_loc:(i + 1) * h_loc]
+        blocks.append(blk)
+    resident = np.concatenate(blocks, axis=1)
+
+    fn = jax.jit(jax.shard_map(
+        lambda b: refresh_resident_halo(b, py, h_loc),
+        mesh=mesh, in_specs=P(None, "space", None),
+        out_specs=P(None, "space", None)))
+    ref = jax.jit(jax.shard_map(
+        lambda x: exchange_row_halo(x, py),
+        mesh=mesh, in_specs=P(None, "space", None),
+        out_specs=P(None, "space", None)))
+
+    out = np.asarray(fn(jax.device_put(
+        resident, NamedSharding(mesh, P(None, "space", None)))))
+    want = np.asarray(ref(jax.device_put(
+        planar, NamedSharding(mesh, P(None, "space", None)))))
+    # want: per shard (h_loc + 2*py) rows [top halo | valid | bottom halo]
+    for i in range(8):
+        blk = out[:, i * hp:(i + 1) * hp]
+        wnt = want[:, i * (h_loc + 2 * py):(i + 1) * (h_loc + 2 * py)]
+        np.testing.assert_array_equal(blk[:, :py], wnt[:, :py],
+                                      err_msg=f"top halo shard {i}")
+        np.testing.assert_array_equal(
+            blk[:, py + h_loc:py + h_loc + py],
+            wnt[:, py + h_loc:py + h_loc + py],
+            err_msg=f"bottom halo shard {i}")
+        np.testing.assert_array_equal(blk[:, py:py + h_loc],
+                                      wnt[:, py:py + h_loc],
+                                      err_msg=f"valid rows shard {i}")
