@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
 """Sharded-lift assembly cost lab (round 3).
 
-The shipped sharded Pallas lift (parallel/pallas_ops.lift) assembles a
-fresh local padded buffer per application: concat ICI/mirror halo rows +
-jnp.pad to padded_height, run the kernel, re-slice valid rows. Measured
-on fundus at 1 shard that costs ~230-270 us/op over the bare kernel
+The ROUND-2 sharded Pallas lift assembled a fresh local padded buffer
+per application: concat ICI/mirror halo rows + jnp.pad to padded_height,
+run the kernel, re-slice valid rows. Measured on fundus at 1 shard that
+cost ~230-270 us/op over the bare kernel
 (runs at 335-472 us vs the kernels' 107-200 — docs/RESULTS_ROUND3.md §9):
 by the X-path cost law each materialized whole-shard pass is ~2
 traversals.
@@ -20,7 +20,9 @@ lift).
 
 This lab measures, on the real TPU at 1 shard (fundus size), the
 chained-K marginal of:
-  A  shipped lift (concat + pad + kernel + slice)
+  A  the ROUND-2 lift (concat + pad + kernel + slice), reconstructed
+     inline — the shipped build_sharded_pallas_ops has since moved to
+     the resident model this lab motivated
   B  padded-resident (DUS halo rows + kernel)
   C  bare kernel (no halo logic at all — the floor)
 and bit-checks B == A on the valid rows after each application count.
@@ -42,10 +44,11 @@ from jax import lax  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 from dip_benchmark_tpu.ops import pallas as pallas_ops  # noqa: E402
-from dip_benchmark_tpu.parallel.halo import make_mesh  # noqa: E402
-from dip_benchmark_tpu.parallel.pallas_ops import build_sharded_pallas_ops  # noqa: E402
+from dip_benchmark_tpu.parallel.halo import (  # noqa: E402
+    exchange_row_halo, make_mesh)
+from dip_benchmark_tpu.parallel.pallas_ops import _shard_layout  # noqa: E402
 from dip_benchmark_tpu.runtime.cache import enable_compilation_cache  # noqa: E402
-from dip_benchmark_tpu.utils.image import bake_mirror_cols, make_layout  # noqa: E402
+from dip_benchmark_tpu.utils.image import bake_mirror_cols  # noqa: E402
 from dip_benchmark_tpu.utils.image import load_image  # noqa: E402
 
 FUNDUS = "/root/reference/assets/fundus.jpg"
@@ -64,11 +67,26 @@ def main() -> int:
     mesh = make_mesh(n_space=1)
     planar = np.transpose(image, (2, 0, 1))
 
-    # A: shipped lift
-    ops_a, lay = build_sharded_pallas_ops(mesh, h, w)
+    # A: the round-2 assemble-per-call lift, reconstructed INLINE (the
+    # shipped build_sharded_pallas_ops has since MOVED to the resident
+    # model this lab motivated, so the historical baseline is kept here
+    # for reproducibility): halo concat + pad to padded_height + kernel +
+    # valid-row re-slice per application, on a (C, H, Wp) global array.
+    lay = _shard_layout(h, w)
+    hp = lay.padded_height
+    local_a = pallas_ops.build_ops(lay)[COL]
+
+    def old_lift_body(x):  # (C, h_loc, Wp) unpadded shard
+        xh = exchange_row_halo(x, lay.pad_y)
+        buf = jnp.pad(xh, ((0, 0), (0, hp - xh.shape[1]), (0, 0)))
+        out = local_a(buf)
+        return out[:, lay.pad_y:lay.pad_y + x.shape[1]]
+
+    op_a = jax.jit(jax.shard_map(
+        old_lift_body, mesh=mesh, in_specs=P(None, "space", None),
+        out_specs=P(None, "space", None), check_vma=False))
     xa = jax.device_put(bake_mirror_cols(planar, lay),
                         NamedSharding(mesh, P(None, "space", None)))
-    op_a = ops_a[COL]
 
     # B: padded-resident — per-shard (C, Hp, Wp), halo rows refreshed by
     # DUS from the buffer's own valid rows (1-shard: the mirror rule).
@@ -119,7 +137,7 @@ def main() -> int:
         print(f"  bit-check after {napp} applications: "
               f"{'OK' if same else 'MISMATCH'}", flush=True)
 
-    for name, op, x in (("A shipped lift", op_a, xa),
+    for name, op, x in (("A round-2 lift", op_a, xa),
                         ("B padded-resident", op_b, xb),
                         ("C bare kernel", op_c, xb)):
         (f1, _), (f2, _) = chained(op, x, K1), chained(op, x, K2)

@@ -120,7 +120,7 @@ def main() -> int:
     np.testing.assert_array_equal(
         np.transpose(planar[:, :s2.valid_height], (1, 2, 0)), img)
     ok += 1
-    print(f"  chunked sharded download round-trip: OK", flush=True)
+    print("  chunked sharded download round-trip: OK", flush=True)
 
     print(f"tpu_validate_r3: {ok} surface groups verified on "
           f"{jax.devices()[0].device_kind}", flush=True)

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import spec
@@ -121,8 +120,8 @@ class BenchmarkSession:
         elif path == "xla" and dtype == "float32":
             from . import oracle_f32
             from .ops import xla_f32
-            self.planar_f32_dev = _sync(jax.device_put(
-                oracle_f32.from_uint8_hwc(self.host_image), self.device))
+            # the working buffer IS the f32 memory-op payload (above)
+            self.planar_f32_dev = self._mem_dev
             self._ops_impl = {col: jax.jit(fn)
                               for col, fn in xla_f32.IMAGE_OPS_F32.items()}
             self._crop = {col: (lambda a: oracle_f32.to_uint8_hwc(
