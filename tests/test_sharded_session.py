@@ -292,3 +292,45 @@ def test_cli_shards_f32(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Grayscale" in proc.stdout
+
+
+def test_sharded_resident_chain_composition_bit_exact():
+    """The resident model's ROW composition, verified directly: K chained
+    applications of a resident sharded op (halo-strip refresh between
+    every application, 8 shards) bit-match K sequential applications of
+    the single-device oracle op, for K within the COLUMN-halo budget
+    (pad_x // rx — columns are baked, not refreshed, and their validity
+    shrinks per application exactly as on the single-device layout; rows
+    are refreshed from valid rows every application, so the row axis
+    composes indefinitely). This is the invariant that makes
+    `--shards --exec`'s chained-K marginal price the real distributed
+    op (beyond the column budget, chained values drift at the column
+    edges identically on every surface — runtime/exec_timing.py
+    docstring — which affects values, not cost)."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dip_benchmark_tpu.parallel import make_mesh
+    from dip_benchmark_tpu.parallel.pallas_ops import build_sharded_pallas_ops
+    from dip_benchmark_tpu.utils.image import (from_resident_planar,
+                                               to_resident_planar)
+
+    mesh = make_mesh(n_space=8)
+    r = np.random.default_rng(17)
+    h, w = 64, 44
+    img = r.integers(0, 256, (h, w, 3), np.uint8)
+    ops, layout = build_sharded_pallas_ops(mesh, h, w)
+    resident = to_resident_planar(np.transpose(img, (2, 0, 1)), layout, 8)
+    xdev = jax.device_put(resident,
+                          NamedSharding(mesh, P(None, "space", None)))
+    for col, k in (("Erosion-3x3-Square", 2), ("Convolution-5x5", 1),
+                   ("Gaussian-Blur-3x3", 2)):
+        op = ops[col]
+        out = np.asarray(jax.jit(
+            lambda v, op=op, k=k: lax.fori_loop(
+                0, k, lambda i, u: op(u), v))(xdev))
+        got = np.transpose(
+            from_resident_planar(out, layout, 8, h // 8, h), (1, 2, 0))
+        want = img
+        for _ in range(k):
+            want = oracle.IMAGE_OPS[col](want)
+        np.testing.assert_array_equal(got, want, err_msg=f"{col} x{k}")
