@@ -334,3 +334,36 @@ def test_sharded_resident_chain_composition_bit_exact():
         for _ in range(k):
             want = oracle.IMAGE_OPS[col](want)
         np.testing.assert_array_equal(got, want, err_msg=f"{col} x{k}")
+
+
+def test_sharded_chain_fuzz_random_sequences():
+    """Fuzz the SHARDED chain path like the single-device chain fuzzer:
+    random op sequences through session.chain_operation (8 shards,
+    chain-radius resident halos, auto row padding) vs the sequential
+    oracle."""
+    r = np.random.default_rng(23)
+    pool = ["Copy", "Inversion", "Threshold", "Erosion-3x3-Cross",
+            "Erosion-3x3-Square", "Convolution-3x3", "Convolution-1x3+3x1",
+            "Convolution-5x5", "Gaussian-Blur-3x3"]
+    img = r.integers(0, 256, size=(53, 47, 3), dtype=np.uint8)
+    from dip_benchmark_tpu.models.chain import chain_radius
+    done = 0
+    for trial in range(8):
+        n = int(r.integers(1, 4))
+        cols = [pool[int(i)] for i in r.integers(0, len(pool), n)]
+        if r.integers(0, 2):
+            cols = ["Grayscale"] + cols
+        ry, rx = chain_radius(cols)
+        if max(ry, rx) > 6:  # keep shard heights reasonable at 8 shards
+            continue
+        session = ShardedBenchmarkSession(img, n_devices=8, path="pallas")
+        op = session.chain_operation(cols)
+        op.run()
+        got = op.fetch()
+        want = img
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"trial {trial}: {cols}")
+        done += 1
+    assert done >= 4  # the radius guard must not skip everything
