@@ -93,6 +93,28 @@ def refresh_resident_halo(buf: jnp.ndarray, pad_y: int, h_loc: int,
     return lax.dynamic_update_slice(buf, bot, (0, pad_y + h_loc, 0))
 
 
+def refresh_resident_cols(buf: jnp.ndarray, pad_x: int,
+                          width: int) -> jnp.ndarray:
+    """Re-mirror the COLUMN halos of a padded(-resident) buffer from its
+    valid columns: cols [0, pad_x) get flip(valid cols [1, pad_x]), cols
+    [pad_x + width, pad_x + width + pad_x) get flip(the last pad_x valid
+    cols) — spec.mirror_index applied over the full buffer height, so
+    halo ROWS (already refreshed) get consistent corners too. Columns are
+    never sharded, so unlike the row refresh this is purely local (no
+    collective): two (..., Hp, pad_x) strips, a flip, and two lane-dim
+    update-slices. Closes the round-3 column-drift asterisk: with this
+    called each windowed application (after refresh_resident_halo),
+    chained resident sharded applications are bit-exact for arbitrary
+    depth — matching the single-device reference's per-dispatch border
+    re-establishment (sycl/benchmark.cpp:341-356) on BOTH axes. Works on
+    (C, Hp, Wp) buffers and (B, C, Hp, Wp) stacks alike."""
+    left = jnp.flip(buf[..., pad_x + 1:2 * pad_x + 1], axis=-1)
+    right = jnp.flip(buf[..., width:pad_x + width], axis=-1)
+    buf = lax.dynamic_update_slice_in_dim(buf, left, 0, axis=-1)
+    return lax.dynamic_update_slice_in_dim(buf, right, pad_x + width,
+                                           axis=-1)
+
+
 def sharded_op(local_fn, mesh: Mesh, halo: int):
     """Lift local_fn((C, h+2*halo, W) padded-rows shard) -> (C, h, W) into a
     global (C, H, W) -> (C, H, W) op over the mesh's space axis."""

@@ -11,11 +11,13 @@ array IS its full padded local layout,
                     the global mirror rule on edge shards
 
 so an application costs only the 2*pad_y halo-row strip refresh
-(parallel/halo.refresh_resident_halo; point ops skip even that) plus the
+(parallel/halo.refresh_resident_halo) plus the local column-halo
+re-mirror (refresh_resident_cols; point ops skip both) plus the
 UNMODIFIED single-device kernel — the kernels cannot tell a neighbor's
-rows from baked mirror rows, so everything stays bit-exact, and because
-the kernels are shape-preserving on the padded layout, sharded ops
-compose (exec chains, fused chains) with strip-sized upkeep per stage.
+rows from refreshed mirror rows, so everything stays bit-exact, and
+because the kernels are shape-preserving on the padded layout, sharded
+ops compose bit-exactly at ARBITRARY depth (exec chains, fused chains)
+with strip-sized upkeep per stage.
 Assemble device buffers with utils.image.to_resident_planar; read back
 with from_resident_planar. Measured on hardware: the distributed table
 runs at single-device kernel cost, 2.3-4.6x over the round-2
@@ -28,7 +30,7 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.image import PlanarLayout, make_layout, round_up
-from .halo import refresh_resident_halo
+from .halo import refresh_resident_cols, refresh_resident_halo
 
 
 def _shard_layout(h_loc: int, width: int, halo: int | None = None,
@@ -93,6 +95,7 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
         def body(buf):  # buf: (C, Hp, Wp) resident local block
             if windowed:
                 buf = refresh_resident_halo(buf, layout.pad_y, h_loc, axis)
+                buf = refresh_resident_cols(buf, layout.pad_x, width)
             return op(buf)
 
         # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
@@ -173,6 +176,7 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
             if windowed:
                 x = jax.vmap(lambda im: refresh_resident_halo(
                     im, layout.pad_y, h_loc, axis))(x)
+                x = refresh_resident_cols(x, layout.pad_x, width)
             return op(x)
 
         fn = jax.jit(jax.shard_map(
@@ -187,6 +191,7 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     def body(buf):  # buf: (C, Hp, Wp) resident local block
         if windowed:
             buf = refresh_resident_halo(buf, layout.pad_y, h_loc, axis)
+            buf = refresh_resident_cols(buf, layout.pad_x, width)
         return op(buf)
 
     fn = jax.jit(jax.shard_map(
@@ -221,6 +226,7 @@ def sharded_pallas_pipeline(mesh: Mesh, batch: int, height: int, width: int,
     def body(x):  # (b_loc, C, Hp, Wp) resident local stack
         xh = jax.vmap(lambda im: refresh_resident_halo(
             im, layout.pad_y, h_loc, space_axis))(x)
+        xh = refresh_resident_cols(xh, layout.pad_x, width)
         return op(xh)
 
     fn = jax.jit(jax.shard_map(

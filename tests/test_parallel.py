@@ -124,3 +124,47 @@ def test_refresh_resident_halo_matches_exchange(devices_ok, gradient_image):
         np.testing.assert_array_equal(blk[:, py:py + h_loc],
                                       wnt[:, py:py + h_loc],
                                       err_msg=f"valid rows shard {i}")
+
+
+def test_refresh_resident_cols_matches_bake(gradient_image):
+    """The column-halo refresh reproduces exactly the columns
+    to_resident_planar bakes: scramble every column-halo cell of a fresh
+    resident buffer (all rows, halo rows included), refresh, and the
+    buffer must bit-match the original bake across the whole read window
+    [0, width + 2*pad_x) — rows' valid columns are the only surviving
+    source, which is the per-application invariant the resident model
+    maintains. Pure local (no mesh): columns are never sharded."""
+    from dip_benchmark_tpu.parallel.halo import refresh_resident_cols
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_resident_planar)
+
+    n, h, w = 4, 24, 40
+    planar = np.transpose(gradient_image[:h, :w], (2, 0, 1))
+    layout = make_layout(h // n, w)
+    baked = to_resident_planar(planar, layout, n)
+    px = layout.pad_x
+    scrambled = baked.copy()
+    scrambled[..., :px] = 201
+    scrambled[..., px + w:2 * px + w] = 202
+    out = np.asarray(refresh_resident_cols(
+        jnp.asarray(scrambled), px, w))
+    np.testing.assert_array_equal(out[..., :2 * px + w],
+                                  baked[..., :2 * px + w])
+    # slack columns beyond the halo are untouched (never read by kernels)
+    np.testing.assert_array_equal(out[..., 2 * px + w:],
+                                  baked[..., 2 * px + w:])
+
+
+def test_refresh_resident_cols_batched_rank():
+    """refresh_resident_cols is rank-generic: a (B, C, Hp, Wp) stack gets
+    the same per-image column re-mirror as each image refreshed alone."""
+    from dip_benchmark_tpu.parallel.halo import refresh_resident_cols
+
+    r = np.random.default_rng(4)
+    px, w = 2, 20
+    stack = r.integers(0, 256, (3, 2, 11, w + 2 * px + 4), np.uint8)
+    got = np.asarray(refresh_resident_cols(jnp.asarray(stack), px, w))
+    for b in range(3):
+        one = np.asarray(refresh_resident_cols(
+            jnp.asarray(stack[b]), px, w))
+        np.testing.assert_array_equal(got[b], one, err_msg=f"batch {b}")

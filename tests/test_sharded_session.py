@@ -295,18 +295,17 @@ def test_cli_shards_f32(tmp_path):
 
 
 def test_sharded_resident_chain_composition_bit_exact():
-    """The resident model's ROW composition, verified directly: K chained
-    applications of a resident sharded op (halo-strip refresh between
-    every application, 8 shards) bit-match K sequential applications of
-    the single-device oracle op, for K within the COLUMN-halo budget
-    (pad_x // rx — columns are baked, not refreshed, and their validity
-    shrinks per application exactly as on the single-device layout; rows
-    are refreshed from valid rows every application, so the row axis
-    composes indefinitely). This is the invariant that makes
-    `--shards --exec`'s chained-K marginal price the real distributed
-    op (beyond the column budget, chained values drift at the column
-    edges identically on every surface — runtime/exec_timing.py
-    docstring — which affects values, not cost)."""
+    """Resident-model composition, verified directly on BOTH axes: K
+    chained applications of a resident sharded op (8 shards) bit-match K
+    sequential applications of the single-device oracle op for ARBITRARY
+    K — rows are refreshed from valid rows over ICI every application
+    (refresh_resident_halo) and, since round 4, column halos are
+    re-mirrored locally every application too (refresh_resident_cols),
+    so there is no drift budget on either axis. K here is chosen well
+    beyond the old round-3 column budget (pad_x // rx = 2 for 3x3 ops,
+    1 for 5x5) that this test used to stay inside. This is the invariant
+    that makes `--shards --exec`'s chained-K marginal price the real
+    distributed op."""
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dip_benchmark_tpu.parallel import make_mesh
@@ -322,8 +321,8 @@ def test_sharded_resident_chain_composition_bit_exact():
     resident = to_resident_planar(np.transpose(img, (2, 0, 1)), layout, 8)
     xdev = jax.device_put(resident,
                           NamedSharding(mesh, P(None, "space", None)))
-    for col, k in (("Erosion-3x3-Square", 2), ("Convolution-5x5", 1),
-                   ("Gaussian-Blur-3x3", 2)):
+    for col, k in (("Erosion-3x3-Square", 7), ("Convolution-5x5", 4),
+                   ("Gaussian-Blur-3x3", 6)):
         op = ops[col]
         out = np.asarray(jax.jit(
             lambda v, op=op, k=k: lax.fori_loop(
