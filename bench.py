@@ -64,7 +64,6 @@ CUDA_BASELINE_S = {
     "Convolution-1x5+5x1": 0.001533, "Gaussian-Blur-3x3": 0.001053,
 }
 
-FUNDUS = "/root/reference/assets/fundus.jpg"
 
 
 def _h2d_floor(nbytes: int, reps: int = 4) -> float:
@@ -113,15 +112,15 @@ def main() -> int:
     from dip_benchmark_tpu.runtime.cache import enable_compilation_cache
     enable_compilation_cache()
     from dip_benchmark_tpu.session import BenchmarkSession
-    from dip_benchmark_tpu.utils.image import load_image
 
-    if os.path.exists(FUNDUS):
-        image = load_image(FUNDUS)
-    else:  # same size as the HRF fundus image
-        rng = np.random.default_rng(0)
-        image = rng.integers(0, 256, size=(2336, 3504, 3), dtype=np.uint8)
-        print("WARNING: fundus.jpg not found, using synthetic image",
-              file=sys.stderr)
+    # Shared input rule (utils/testimage.resolve_image): $DIP_TPU_IMAGE,
+    # else the reference fundus.jpg if mounted, else the deterministic
+    # synthetic fundus at the same HRF geometry — self-contained either
+    # way, and the JSON names the source it measured.
+    from dip_benchmark_tpu.utils.testimage import resolve_image
+    image, image_source = resolve_image()
+    if image_source != "fundus.jpg":
+        print(f"NOTE: benchmarking on {image_source}", file=sys.stderr)
 
     session = BenchmarkSession(image, path=path)
     # Host-transfer ops run at millisecond-to-second scale on the tunneled
@@ -243,6 +242,7 @@ def main() -> int:
         "vs_baseline_mean": round(geo({c: CUDA_BASELINE_S[c] * 1e6
                                        / mean_us[c] for c in compute}), 3),
         "rounds": rounds,
+        "image": image_source,
         "transport_floor_ms": {"h2d": round(h2d_floor * 1e3, 2),
                                "d2h": round(d2h_floor * 1e3, 2)},
         **({"exec_geomean_us": round(geo(exec_us), 2),

@@ -52,9 +52,12 @@ def gradient_image() -> np.ndarray:
 @pytest.fixture(scope="session")
 def fundus_crop() -> np.ndarray:
     """A crop of the real benchmark image if available, else synthetic."""
-    path = "/root/reference/assets/fundus.jpg"
+    from dip_benchmark_tpu.utils.testimage import ref_path
+    path = ref_path("assets/fundus.jpg")
     if os.path.exists(path):
         from dip_benchmark_tpu.utils.image import load_image
         return load_image(path)[1000:1128, 1500:1756]  # (128, 256, 3)
-    rng = np.random.default_rng(7)
-    return rng.integers(0, 256, size=(128, 256, 3), dtype=np.uint8)
+    # Self-contained fallback: the deterministic synthetic fundus
+    # (utils/testimage.py) — realistic structure, no mount needed.
+    from dip_benchmark_tpu.utils.testimage import synth_fundus
+    return synth_fundus(256, 512)[64:192, 128:384]  # (128, 256, 3)

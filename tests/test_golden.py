@@ -12,8 +12,9 @@ import numpy as np
 import pytest
 
 from dip_benchmark_tpu import oracle
+from dip_benchmark_tpu.utils.testimage import ref_path
 
-FUNDUS = "/root/reference/assets/fundus.jpg"
+FUNDUS = ref_path("assets/fundus.jpg")
 
 # sha256[:16] of op(crop).tobytes(); crop = fundus[1000:1128, 1500:1756] RGB.
 GOLDEN = {
@@ -33,12 +34,10 @@ GOLDEN = {
 }
 INPUT_HASH = "efbd33c10d9958f4"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(FUNDUS),
-                                reason="reference fundus.jpg not mounted")
-
-
 @pytest.fixture(scope="module")
 def crop() -> np.ndarray:
+    if not os.path.exists(FUNDUS):
+        pytest.skip("reference fundus.jpg not mounted")
     from dip_benchmark_tpu.utils.image import load_image
     img = load_image(FUNDUS)[1000:1128, 1500:1756]
     assert hashlib.sha256(img.tobytes()).hexdigest()[:16] == INPUT_HASH, (
@@ -55,7 +54,7 @@ def test_oracle_golden(col, crop):
 # Second real image: assets/emphysema.jpg (528x393), shipped by the
 # reference but referenced nowhere in its code (SURVEY.md §0) — used here
 # as an independent full-image golden fixture (no crop: full mirror borders).
-EMPHYSEMA = "/root/reference/assets/emphysema.jpg"
+EMPHYSEMA = ref_path("assets/emphysema.jpg")
 EMPHYSEMA_INPUT_HASH = "f86465ffb905421b"
 EMPHYSEMA_GOLDEN = {
     "Convolution-1x3+3x1": "37b65e0f24df40bc",
@@ -109,3 +108,60 @@ def test_pallas_golden_emphysema(col, emphysema):
     out_x = np.asarray(jax.jit(xla.IMAGE_OPS[col])(emphysema))
     assert (hashlib.sha256(out_x.tobytes()).hexdigest()[:16]
             == EMPHYSEMA_GOLDEN[col])
+
+
+# Third fixture: the SELF-CONTAINED synthetic fundus
+# (utils/testimage.synth_fundus at 528x393) — pure integer arithmetic, so
+# unlike the two JPEG fixtures above these goldens never need a mount or
+# a decode-stability guard: the full golden contract runs from this tree
+# alone (round-4 VERDICT item 2; the reference's own-assets contract is
+# /root/reference/README.md:5-9).
+SYNTH_INPUT_HASH = "ab8ebf56b6dd9c7a"
+SYNTH_GOLDEN = {
+    "Convolution-1x3+3x1": "a061679cc78f7253",
+    "Convolution-1x5+5x1": "e33f65af50a5e48c",
+    "Convolution-3x3": "b3ad0f452a87ecd6",
+    "Convolution-5x5": "36bbff7e2cbce578",
+    "Copy": "ab8ebf56b6dd9c7a",
+    "Erosion-1x3+3x1-Square": "d0092879988356d8",
+    "Erosion-3x3-Cross": "a1c0c525e5e36914",
+    "Erosion-3x3-Square": "d0092879988356d8",
+    "Fused-Pipeline": "ae36553765b61774",
+    "Gaussian-Blur-3x3": "b3ad0f452a87ecd6",
+    "Grayscale": "1200f8d11af93dcf",
+    "Inversion": "ffa2628dddec9c2d",
+    "Threshold": "5bc1babc01430190",
+}
+
+
+@pytest.fixture(scope="module")
+def synth() -> np.ndarray:
+    from dip_benchmark_tpu.utils.testimage import synth_fundus
+    img = synth_fundus(393, 528)
+    assert (hashlib.sha256(img.tobytes()).hexdigest()[:16]
+            == SYNTH_INPUT_HASH), "synth_fundus generator changed"
+    return img
+
+
+@pytest.mark.parametrize("col", sorted(SYNTH_GOLDEN))
+def test_oracle_golden_synth(col, synth):
+    h = hashlib.sha256(oracle.IMAGE_OPS[col](synth).tobytes()).hexdigest()[:16]
+    assert h == SYNTH_GOLDEN[col], f"{col}: semantics drifted from golden"
+
+
+@pytest.mark.parametrize("col", ["Erosion-3x3-Square", "Convolution-5x5",
+                                 "Fused-Pipeline"])
+def test_pallas_golden_synth(col, synth):
+    """Both execution paths reproduce the self-contained goldens."""
+    import jax
+    from dip_benchmark_tpu.ops import pallas, xla
+    from dip_benchmark_tpu.utils.image import make_layout, to_planar_padded
+    layout = make_layout(*synth.shape[:2])
+    planar = jax.device_put(to_planar_padded(synth, layout))
+    out = pallas.build_crops(layout)[col](
+        pallas.build_ops(layout)[col](planar))
+    assert (hashlib.sha256(out.tobytes()).hexdigest()[:16]
+            == SYNTH_GOLDEN[col])
+    out_x = np.asarray(jax.jit(xla.IMAGE_OPS[col])(synth))
+    assert (hashlib.sha256(out_x.tobytes()).hexdigest()[:16]
+            == SYNTH_GOLDEN[col])

@@ -178,7 +178,8 @@ def test_reference_plot_py_ingests_our_csv(fundus_crop, tmp_path):
     """Drop-in reporting proof: the REFERENCE's unmodified plot.py consumes
     a results.csv containing our programmatically written row and renders
     its five PNGs. Skipped when the reference tree or pandas is absent."""
-    ref_plot = "/root/reference/plot.py"
+    from dip_benchmark_tpu.utils.testimage import ref_path
+    ref_plot = ref_path("plot.py")
     if not os.path.exists(ref_plot):
         pytest.skip("reference tree not mounted")
     pytest.importorskip("pandas")
