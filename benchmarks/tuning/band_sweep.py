@@ -111,7 +111,11 @@ def main() -> int:
             t = timed(fn, planar, max(3, args.rounds // 10)) / k
             results[name] = t * 1e6
         row = "  ".join(f"{n}={v:7.1f}us" for n, v in results.items())
-        print(f"  band={band:4d}  {row}")
+        # layout.band may be smaller than requested: make_layout caps the
+        # band to the VMEM envelope (utils/image.py:fit_band) — print the
+        # band actually measured so the table never lies.
+        print(f"  band={layout.band:4d}  {row}"
+              + ("" if layout.band == band else f"  (requested {band})"))
     return 0
 
 

@@ -156,7 +156,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)
-    if args.warm and not args.shards:
+    if args.warm:
+        # Both session flavors: aot.warm compiles the sharded session's
+        # shard_map programs the same way (mesh captured in the lowering).
         from .runtime.aot import warm
         warm(session)
     if args.chained:

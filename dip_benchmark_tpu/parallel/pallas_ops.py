@@ -34,15 +34,18 @@ from .halo import refresh_resident_cols, refresh_resident_halo
 
 
 def _shard_layout(h_loc: int, width: int, halo: int | None = None,
-                  what: str = "halo exchange") -> PlanarLayout:
+                  what: str = "halo exchange",
+                  itemsize: int = 1) -> PlanarLayout:
     """Per-shard layout. The band tracks the shard height (instead of the
     default 112) so windowed kernels don't compute up to a full band of
     discarded zero-padding rows per shard; and halo exchange needs at
     least pad_y + 1 valid rows per shard to build its mirror rows.
-    halo overrides the default op halo (chains need their total radius)."""
+    halo overrides the default op halo (chains need their total radius);
+    itemsize sizes the VMEM envelope check (4 for the f32 model)."""
     kw = {} if halo is None else {"halo": halo}
     layout = make_layout(h_loc, width,
-                         band=min(112, round_up(max(h_loc, 1), 8)), **kw)
+                         band=min(112, round_up(max(h_loc, 1), 8)),
+                         itemsize=itemsize, **kw)
     if h_loc < layout.pad_y + 1:
         raise ValueError(
             f"shards of {h_loc} rows are too small for {what} "
@@ -79,7 +82,8 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
     assert height % n == 0, (
         f"the {n}-shard axis must divide height {height}")
     h_loc = height // n
-    layout = _shard_layout(h_loc, width)
+    layout = _shard_layout(h_loc, width,
+                           itemsize=4 if dtype == "float32" else 1)
     if dtype == "float32":
         local = pallas_ops.build_f32_ops(layout)
     elif dtype == "uint8":
@@ -162,7 +166,8 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     ry, rx = check_chain(cols)
     halo = max(2, ry, rx)
     layout = _shard_layout(h_loc, width, halo=halo,
-                           what=f"a radius-{halo} chain's halo exchange")
+                           what=f"a radius-{halo} chain's halo exchange",
+                           itemsize=4 if dtype == "float32" else 1)
     windowed = ry > 0  # point-only chains need no ICI halo (cf. lift())
 
     if batch:

@@ -19,26 +19,45 @@ import jax
 import numpy as np
 
 
+def _table(session):
+    """(ops_dict, device_src) for either session flavor: the single-device
+    BenchmarkSession keeps its jitted ops in `_ops_impl` with the input from
+    `_device_input()`; the ShardedBenchmarkSession keeps its shard_map
+    programs in `_ops` operating on the resident `planar_dev` buffer."""
+    if hasattr(session, "_ops_impl"):
+        return session._ops_impl, session._device_input()
+    return session._ops, session.planar_dev
+
+
 def warm(session) -> dict:
-    """Compile all of a BenchmarkSession's device ops ahead of time.
+    """Compile all of a session's device ops ahead of time — works for both
+    the single-device session and the sharded session (the shard_map
+    programs are jitted, so `.lower().compile()` applies unchanged; the
+    compile captures the mesh + sharding of the resident buffer).
     Returns {csv_column: jax.stages.Compiled}."""
-    src = session._device_input()
+    src = _table(session)[1]
     compiled = {}
-    for col, fn in session._ops_impl.items():
+    for col, fn in _table(session)[0].items():
         compiled[col] = fn.lower(src).compile()
     return compiled
 
 
 def export_ops(session, outdir: str) -> list[str]:
     """Serialize every device op (StableHLO via jax.export) for the
-    session's input shape. Returns written paths."""
+    session's input shape. For a sharded session the input spec carries the
+    mesh sharding, so the artifact embeds the SPMD partitioning and replays
+    on any same-size mesh. Returns written paths."""
     from jax import export as jax_export
 
     os.makedirs(outdir, exist_ok=True)
-    src = session._device_input()
-    spec = jax.ShapeDtypeStruct(src.shape, src.dtype)
+    ops, src = _table(session)
+    if hasattr(src, "sharding") and getattr(src.sharding, "mesh", None):
+        spec = jax.ShapeDtypeStruct(src.shape, src.dtype,
+                                    sharding=src.sharding)
+    else:
+        spec = jax.ShapeDtypeStruct(src.shape, src.dtype)
     written = []
-    for col, fn in session._ops_impl.items():
+    for col, fn in ops.items():
         exported = jax_export.export(fn)(spec)
         path = os.path.join(outdir, f"{col}.stablehlo")
         with open(path, "wb") as f:

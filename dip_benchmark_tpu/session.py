@@ -102,7 +102,7 @@ class BenchmarkSession:
         if path == "pallas" and dtype == "float32":
             from .ops import pallas as pallas_ops
             h, w, c = host_image.shape
-            self.layout = image_util.make_layout(h, w, c)
+            self.layout = image_util.make_layout(h, w, c, itemsize=4)
             planar_host = image_util.to_planar_padded_f32(self.host_image,
                                                           self.layout)
             self.planar_dev = _sync(jax.device_put(planar_host, self.device))
@@ -323,7 +323,8 @@ class BenchmarkSession:
             layout, planar = self.layout, self.planar_dev
         else:
             h, w, c = self.host_image.shape
-            layout = image_util.make_layout(h, w, c, halo=r)
+            layout = image_util.make_layout(h, w, c, halo=r,
+                                            itemsize=4 if f32 else 1)
             planar = _sync(jax.device_put(
                 to_planar(self.host_image, layout), self.device))
         fn = (chain_model.make_fused_chain_f32(layout, cols) if f32

@@ -124,12 +124,72 @@ class PlanarLayout:
 DEFAULT_HALO = 2   # max kernel radius in the op matrix (5x5 -> 2)
 DMA_SLACK = 16     # >= 2*pad_y rounded up to the 8-row DMA tile
 
+VMEM_BUDGET = 16 * 2**20  # bytes of VMEM per TPU core (v4/v5 generations)
+# Live i32/f32 compute temps per output row in the widest windowed body,
+# as a multiple of (band + 2*pad_y) x Wp x 4-byte rows. Conservative bound
+# covering the 5x5 convolution's SWAR accumulators; the DMA window and
+# output block below are exact (they are the kernels' scratch_shapes).
+TEMP_ROW_FACTOR = 2
+HBM_BUFFER_CAP = 4 * 2**30  # one resident planar buffer (HBM is ~16 GiB;
+# in + out + XLA workspace want several buffers resident)
+
+
+def windowed_vmem_bytes(layout: PlanarLayout, itemsize: int = 1) -> int:
+    """Estimated per-grid-step VMEM working set of the windowed Pallas
+    kernels: the double-buffered DMA window + the output block (both exact
+    — ops/pallas/window.py scratch/out specs) + widened compute temps
+    (TEMP_ROW_FACTOR). itemsize is the device dtype's (1 = uint8 model,
+    4 = f32 model)."""
+    wp = layout.padded_width
+    blen = layout.band + DMA_SLACK
+    window = 2 * blen * wp * itemsize
+    out = layout.band * wp * itemsize
+    temps = TEMP_ROW_FACTOR * (layout.band + 2 * layout.pad_y) * wp * 4
+    return window + out + temps
+
+
+def fit_band(width: int, halo: int = DEFAULT_HALO, itemsize: int = 1,
+             cap: int = 112) -> int:
+    """Largest 8-row band <= cap whose windowed working set fits VMEM at
+    this width, or 0 if even band=8 exceeds the budget."""
+    for band in range(max(8, cap // 8 * 8), 7, -8):
+        probe = PlanarLayout(8, width, 1, pad_y=halo, pad_x=halo, band=band)
+        if windowed_vmem_bytes(probe, itemsize) <= VMEM_BUDGET:
+            return band
+    return 0
+
 
 def make_layout(height: int, width: int, channels: int = 3,
-                halo: int = DEFAULT_HALO, band: int = 112) -> PlanarLayout:
+                halo: int = DEFAULT_HALO, band: int = 112,
+                itemsize: int = 1) -> PlanarLayout:
+    """Build the planar padded layout, enforcing the size envelope
+    (docs/DESIGN.md §1): the requested `band` acts as a cap — it shrinks
+    (in 8-row steps) until the windowed kernels' per-step VMEM working set
+    fits the 16 MiB budget, widening the supported width envelope at a
+    per-op cost of more grid steps. Beyond help (no band fits, or the
+    device buffer alone exceeds HBM_BUFFER_CAP) raises ValueError."""
     assert band % SUBLANE == 0 and 2 * halo <= DMA_SLACK
-    return PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
-                        band=band)
+    fitted = fit_band(width, halo=halo, itemsize=itemsize, cap=band)
+    if fitted == 0:
+        est = windowed_vmem_bytes(
+            PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
+                         band=8), itemsize)
+        raise ValueError(
+            f"width {width} is outside the supported envelope: even an "
+            f"8-row band needs ~{est / 2**20:.1f} MiB of VMEM per kernel "
+            f"step (budget {VMEM_BUDGET // 2**20} MiB) — split the image "
+            f"into column tiles (docs/DESIGN.md §1)")
+    layout = PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
+                          band=fitted)
+    buf = layout.padded_height * layout.padded_width * channels * itemsize
+    if buf > HBM_BUFFER_CAP:
+        raise ValueError(
+            f"{height}x{width}x{channels} at itemsize {itemsize} needs a "
+            f"{buf / 2**30:.1f} GiB device buffer (cap "
+            f"{HBM_BUFFER_CAP // 2**30} GiB leaves room for in/out/"
+            f"workspace in ~16 GiB HBM) — shard rows across devices "
+            f"(--shards) or tile the image (docs/DESIGN.md §1)")
+    return layout
 
 
 def to_planar_padded(image: np.ndarray, layout: PlanarLayout) -> np.ndarray:

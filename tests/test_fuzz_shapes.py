@@ -44,3 +44,56 @@ def test_pallas_fuzz(shape):
         got = crops[col](ops[col](planar))
         np.testing.assert_array_equal(got, oracle.IMAGE_OPS[col](img),
                                       err_msg=f"{col} @ {shape}")
+
+
+# ---------------------------------------------------------------------------
+# Size envelope (round-4 VERDICT #7): make_layout enforces the VMEM/HBM
+# bounds of docs/DESIGN.md §1.
+# ---------------------------------------------------------------------------
+
+def test_envelope_default_band_at_measured_top():
+    """7168-wide at the default band was measured on hardware
+    (benchmarks/tuning/size_sweep.py): must fit WITHOUT band shrink."""
+    from dip_benchmark_tpu.utils import image as im
+    layout = make_layout(7168, 7168)
+    assert layout.band == 112
+    assert im.windowed_vmem_bytes(layout, 1) <= im.VMEM_BUDGET
+
+
+def test_envelope_band_caps_to_vmem():
+    """Beyond the default-band envelope the band shrinks (more grid steps,
+    same kernels) instead of letting Mosaic exhaust VMEM."""
+    from dip_benchmark_tpu.utils import image as im
+    wide = make_layout(256, 20_000)
+    assert wide.band < 112 and wide.band % 8 == 0
+    assert im.windowed_vmem_bytes(wide, 1) <= im.VMEM_BUDGET
+    # f32 model: 4-byte windows tighten the same cap
+    f32 = make_layout(256, 7168, itemsize=4)
+    assert im.windowed_vmem_bytes(f32, 4) <= im.VMEM_BUDGET
+
+
+def test_envelope_width_beyond_any_band_rejected():
+    with pytest.raises(ValueError, match="envelope"):
+        make_layout(256, 200_000)
+
+
+def test_envelope_hbm_buffer_cap_rejected():
+    with pytest.raises(ValueError, match="HBM|GiB"):
+        make_layout(60_000, 30_000)
+
+
+def test_envelope_shrunk_band_kernels_still_exact(gradient_image):
+    """A layout whose band was capped below the requested value still runs
+    the windowed kernels bit-exactly (interpret mode)."""
+    from dip_benchmark_tpu import oracle
+    from dip_benchmark_tpu.ops import pallas as pallas_ops
+    from dip_benchmark_tpu.utils.image import from_planar_padded
+    h, w, _ = gradient_image.shape
+    layout = make_layout(h, w, band=8)  # forced tiny band
+    assert layout.band == 8
+    ops = pallas_ops.build_ops(layout)
+    planar = jax.device_put(to_planar_padded(gradient_image, layout))
+    got = from_planar_padded(np.asarray(ops["Erosion-3x3-Square"](planar)),
+                             layout)
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Erosion-3x3-Square"](gradient_image))

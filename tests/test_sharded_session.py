@@ -366,3 +366,24 @@ def test_sharded_chain_fuzz_random_sequences():
                                       err_msg=f"trial {trial}: {cols}")
         done += 1
     assert done >= 4  # the radius guard must not skip everything
+
+
+def test_cli_warm_with_shards(image, tmp_path, capsys):
+    """--warm is honored (not silently ignored) under --shards: the CLI
+    AOT-compiles the shard_map programs before the timed table (round-4
+    VERDICT #5)."""
+    from unittest import mock
+
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.runtime import aot
+    from dip_benchmark_tpu.utils.image import save_image
+
+    img_path = tmp_path / "in.png"
+    save_image(str(img_path), image)
+    with mock.patch.object(aot, "warm", wraps=aot.warm) as warmed:
+        rc = cli.main([str(img_path), str(tmp_path / "out"), "--rounds", "1",
+                       "--backend", "cpu", "--shards", "2", "--warm"])
+    assert rc in (0, None)
+    assert warmed.call_count == 1
+    sess = warmed.call_args[0][0]
+    assert isinstance(sess, ShardedBenchmarkSession)
