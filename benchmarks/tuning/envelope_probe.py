@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Size-envelope probe (round 4, VERDICT #7).
+
+make_layout now enforces a VMEM envelope via `windowed_vmem_bytes`
+(utils/image.py): the default 112-row band is estimated to carry widths
+to ~12.8k columns (uint8), with the band cap shrinking beyond. This probe
+MEASURES the envelope's top on real hardware:
+
+  - width 7168: the round-3 size_sweep anchor (band 112, known-good)
+  - width 12800: the widest band-112 layout the estimator admits —
+    if Mosaic OOMs here, TEMP_ROW_FACTOR is too optimistic; if it runs,
+    the documented envelope has a measured point at its edge
+  - width 16384: past the band-112 cap — exercises the fitted smaller
+    band end-to-end on hardware
+
+Each point runs Erosion-3x3-Square and Convolution-5x5 through the
+P-path kernels, bit-checks a row stripe against the NumPy/native oracle,
+and prints the chained-K exec marginal so the docs can state the
+per-op cost alongside the envelope bound.
+
+Height is fixed at 1024 rows to keep compute/oracle time bounded; the
+envelope under test is the WIDTH (per-band VMEM) axis.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+from jax import lax  # noqa: E402
+
+from dip_benchmark_tpu import native, oracle  # noqa: E402
+from dip_benchmark_tpu.ops import pallas as pallas_ops  # noqa: E402
+from dip_benchmark_tpu.runtime.cache import enable_compilation_cache  # noqa: E402
+from dip_benchmark_tpu.utils import image as image_mod  # noqa: E402
+from dip_benchmark_tpu.utils.image import (  # noqa: E402
+    from_planar_padded, make_layout, to_planar_padded)
+
+K1 = int(os.environ.get("K1", "10"))
+K2 = int(os.environ.get("K2", "50"))
+WIDTHS = [int(w) for w in os.environ.get(
+    "WIDTHS", "7168,12800,16384").split(",")]
+HEIGHT = int(os.environ.get("HEIGHT", "1024"))
+COLS = ["Erosion-3x3-Square", "Convolution-5x5"]
+
+
+def main() -> int:
+    enable_compilation_cache()
+    ops_oracle = native.image_ops() if native.available() else oracle.IMAGE_OPS
+    rng = np.random.default_rng(7)
+    for width in WIDTHS:
+        layout = make_layout(HEIGHT, width)
+        est = image_mod.windowed_vmem_bytes(layout, 1)
+        print(f"width {width}: band {layout.band} "
+              f"(est {est / 2**20:.2f} MiB of "
+              f"{image_mod.VMEM_BUDGET // 2**20} MiB)", flush=True)
+        image = rng.integers(0, 256, size=(HEIGHT, width, 3), dtype=np.uint8)
+        planar = jax.device_put(to_planar_padded(image, layout))
+        ops = pallas_ops.build_ops(layout)
+        for col in COLS:
+            op = ops[col]
+            try:
+                out = jax.block_until_ready(op(planar))
+            except Exception as e:  # Mosaic VMEM OOM lands here
+                print(f"  {col}: FAILED to compile/run: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                continue
+            got = from_planar_padded(np.asarray(out), layout)
+            want = ops_oracle[col](image)
+            ok = np.array_equal(got, want)
+            print(f"  {col}: bit-check {'OK' if ok else 'MISMATCH'}",
+                  flush=True)
+            # exec marginal (chained-K; forced completion by 1-elt read)
+            def chained(k):
+                return jax.jit(lambda v: lax.fori_loop(
+                    0, k, lambda i, u: op(u), v)).lower(planar).compile()
+            f1, f2 = chained(K1), chained(K2)
+
+            def t_sync(fn, n=5):
+                ts = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    y = fn(planar)
+                    np.asarray(y.ravel()[0])
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts))
+            te = (t_sync(f2) - t_sync(f1)) / (K2 - K1)
+            mb = HEIGHT * width * 3 / 2**20
+            print(f"  {col}: exec {te * 1e6:8.1f} us/app "
+                  f"({mb / te / 1024:.1f} GiB/s over {mb:.0f} MiB)",
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
