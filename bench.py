@@ -199,7 +199,8 @@ def main() -> int:
     exec_us = {}
     if os.environ.get("BENCH_EXEC", "1") != "0":
         for col, t in session.execution_table(include_pipeline=True,
-                                              k1=100, k2=900, samples=5):
+                                              k1=100, k2=900, samples=5,
+                                              auto_scale=True):
             # The marginal clamps to 0.0 when relay jitter swamps a cheap
             # op's K2-K1 delta (exec_timing.py); treat anything that
             # ROUNDS to 0.0 us as unresolved — omitted from the JSON and

@@ -210,7 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         print("| device execution time per application "
               "(chained-K marginal) |")
         for col, t in session.execution_table(
-                include_pipeline=args.pipeline):
+                include_pipeline=args.pipeline, auto_scale=True):
             print(f"| {col:42s} | {t:10.6f}s |")
     return 0
 

@@ -250,7 +250,8 @@ class ShardedBenchmarkSession:
 
     def execution_table(self, include_pipeline: bool = False,
                         k1: int = 30, k2: int = 300,
-                        samples: int = 5) -> list[tuple[str, float]]:
+                        samples: int = 5,
+                        auto_scale: bool = False) -> list[tuple[str, float]]:
         """[(csv_column, seconds_per_application)] of TRUE device execution
         time for the SHARDED ops — the chained-K marginal lifted over the
         shard_map programs. Every sharded op is shape-preserving on the
@@ -270,12 +271,14 @@ class ShardedBenchmarkSession:
         if include_pipeline:
             cols.append("Fused-Pipeline")
         rows = [(col, execution_time(self._ops[col], src,
-                                     k1=k1, k2=k2, samples=samples))
+                                     k1=k1, k2=k2, samples=samples,
+                                     auto_scale=auto_scale))
                 for col in cols]
         if self._chain_exec is not None:
             fn, dev = self._chain_exec
             rows.append(("Fused-Chain", execution_time(
-                fn, dev, k1=k1, k2=k2, samples=samples)))
+                fn, dev, k1=k1, k2=k2, samples=samples,
+                auto_scale=auto_scale)))
         return rows
 
     @property

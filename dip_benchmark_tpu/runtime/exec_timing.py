@@ -71,10 +71,29 @@ def _t_sync(fn: Callable, x: jax.Array, samples: int) -> float:
     return float(np.median(ts))
 
 
+# The sync round-trip on relay-tunneled rigs jitters at the ~ms scale even
+# after taking the median of `samples`; a marginal whose chain separation
+# T(K2)-T(K1) is below this floor is reading noise (observed: sub-10 us ops
+# on a 528x393 image print 0 at the default K). Auto-scaling multiplies both
+# K values by 10 until the separation itself resolves.
+RESOLVE_FLOOR_S = 2e-3
+
+
 def execution_time(op: Callable, x: jax.Array, banded: bool = False,
-                   k1: int = 30, k2: int = 300, samples: int = 5) -> float:
-    """Seconds of device execution for one application of `op` on `x`."""
+                   k1: int = 30, k2: int = 300, samples: int = 5,
+                   auto_scale: bool = False, max_k2: int = 30000) -> float:
+    """Seconds of device execution for one application of `op` on `x`.
+
+    With `auto_scale` (opt-in: the measurement surfaces pass it, tests and
+    labs with hand-picked K do not), K grows tenfold until the chain
+    separation T(K2)-T(K1) clears RESOLVE_FLOOR_S or K2 reaches `max_k2`,
+    so fast ops on small images stay measurable instead of clamping to 0.
+    """
     chain = _chain_banded if banded else _chain_direct
-    f1, f2 = chain(op, k1, x), chain(op, k2, x)
-    t1, t2 = _t_sync(f1, x, samples), _t_sync(f2, x, samples)
-    return max(0.0, (t2 - t1) / (k2 - k1))
+    while True:
+        f1, f2 = chain(op, k1, x), chain(op, k2, x)
+        t1, t2 = _t_sync(f1, x, samples), _t_sync(f2, x, samples)
+        delta = t2 - t1
+        if not auto_scale or delta >= RESOLVE_FLOOR_S or k2 * 10 > max_k2:
+            return max(0.0, delta / (k2 - k1))
+        k1, k2 = k1 * 10, k2 * 10

@@ -238,7 +238,8 @@ class BenchmarkSession:
 
     def execution_table(self, include_pipeline: bool = False,
                         k1: int = 30, k2: int = 300,
-                        samples: int = 5) -> list[tuple[str, float]]:
+                        samples: int = 5,
+                        auto_scale: bool = False) -> list[tuple[str, float]]:
         """[(csv_column, seconds_per_application)] of TRUE device execution
         time per op, via the chained-K marginal method (runtime/exec_timing
         docstring: on relay rigs block_until_ready acks enqueue, so the
@@ -266,7 +267,8 @@ class BenchmarkSession:
         for col in cols:
             fn = self._ops_impl[col]
             t = execution_time(fn, src, banded=col in banded_cols,
-                               k1=k1, k2=k2, samples=samples)
+                               k1=k1, k2=k2, samples=samples,
+                               auto_scale=auto_scale)
             rows.append((col, t))
         if banded_cols:
             # Passthrough row: the banded chain's per-iteration re-insert
@@ -282,12 +284,14 @@ class BenchmarkSession:
                 return lax.slice(
                     v, (0,) * v.ndim, shape).astype(dt)
             t = execution_time(passthrough, src, banded=True,
-                               k1=k1, k2=k2, samples=samples)
+                               k1=k1, k2=k2, samples=samples,
+                               auto_scale=auto_scale)
             rows.append(("Passthrough", t))
         if self._chain_exec is not None:
             fn, planar = self._chain_exec
             rows.append(("Fused-Chain", execution_time(
-                fn, planar, k1=k1, k2=k2, samples=samples)))
+                fn, planar, k1=k1, k2=k2, samples=samples,
+                auto_scale=auto_scale)))
         return rows
 
     def pipeline_operation(self) -> Operation:

@@ -93,3 +93,33 @@ def test_chunked_download_round_trip():
     # crop transform + non-default axis + k > n clamp
     dl2 = make_chunked_download(x, lambda v: v[:, 2:21], k=64, axis=1)
     np.testing.assert_array_equal(dl2(), arr[:, 2:21])
+
+
+def test_execution_time_auto_scale(monkeypatch):
+    """exec_timing auto-scaling: K grows tenfold until the chain separation
+    T(K2)-T(K1) clears RESOLVE_FLOOR_S, so a sub-us op on a small image
+    resolves instead of clamping to 0 (observed on the 528x393 regime)."""
+    from dip_benchmark_tpu.runtime import exec_timing
+
+    built = []
+
+    def fake_chain(op, k, x):
+        built.append(k)
+        return k
+
+    def fake_t_sync(fn, x, samples):
+        # fake relay clock: 30 ms sync round-trip + K * 0.5 us of op work
+        return 0.030 + fn * 0.5e-6
+
+    monkeypatch.setattr(exec_timing, "_chain_direct", fake_chain)
+    monkeypatch.setattr(exec_timing, "_t_sync", fake_t_sync)
+
+    t = exec_timing.execution_time(lambda v: v, None, auto_scale=True)
+    # 0.5 us/op resolves only at K=3000/30000 (13.5 ms > 2 ms floor)
+    assert built == [30, 300, 300, 3000, 3000, 30000]
+    assert abs(t - 0.5e-6) < 1e-12
+
+    # hand-picked K (tests, labs) never rescales
+    built.clear()
+    exec_timing.execution_time(lambda v: v, None)
+    assert built == [30, 300]
