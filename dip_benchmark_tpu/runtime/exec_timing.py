@@ -61,14 +61,26 @@ def _chain_banded(op: Callable, k: int, x: jax.Array):
     ).lower(x).compile()
 
 
-def _t_sync(fn: Callable, x: jax.Array, samples: int) -> float:
-    ts = []
+def _t_delta(f1: Callable, f2: Callable, x: jax.Array,
+             samples: int) -> float:
+    """Median of T(f2)-T(f1) over INTERLEAVED sync pairs.
+
+    Relay congestion waves last seconds, so timing all of f1's samples and
+    then all of f2's lets one wave inflate a whole window and bias the
+    marginal (observed: 30-40 us ghosts on sub-us small-image ops).
+    Running each pair back-to-back puts both legs inside the same weather
+    and the difference cancels it; the median then only has to reject
+    single-call spikes."""
+    ds = []
     for _ in range(samples):
         t0 = time.perf_counter()
-        y = fn(x)
+        y = f1(x)
         np.asarray(y.ravel()[0] if hasattr(y, "ravel") else y[0])
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        t1 = time.perf_counter()
+        y = f2(x)
+        np.asarray(y.ravel()[0] if hasattr(y, "ravel") else y[0])
+        ds.append((time.perf_counter() - t1) - (t1 - t0))
+    return float(np.median(ds))
 
 
 # The sync round-trip on relay-tunneled rigs jitters at the ~ms scale even
@@ -92,8 +104,7 @@ def execution_time(op: Callable, x: jax.Array, banded: bool = False,
     chain = _chain_banded if banded else _chain_direct
     while True:
         f1, f2 = chain(op, k1, x), chain(op, k2, x)
-        t1, t2 = _t_sync(f1, x, samples), _t_sync(f2, x, samples)
-        delta = t2 - t1
+        delta = _t_delta(f1, f2, x, samples)
         if not auto_scale or delta >= RESOLVE_FLOOR_S or k2 * 10 > max_k2:
             return max(0.0, delta / (k2 - k1))
         k1, k2 = k1 * 10, k2 * 10

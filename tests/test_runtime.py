@@ -107,12 +107,12 @@ def test_execution_time_auto_scale(monkeypatch):
         built.append(k)
         return k
 
-    def fake_t_sync(fn, x, samples):
-        # fake relay clock: 30 ms sync round-trip + K * 0.5 us of op work
-        return 0.030 + fn * 0.5e-6
+    def fake_t_delta(f1, f2, x, samples):
+        # fake relay clock: the interleaved pair delta is pure op work
+        return (f2 - f1) * 0.5e-6
 
     monkeypatch.setattr(exec_timing, "_chain_direct", fake_chain)
-    monkeypatch.setattr(exec_timing, "_t_sync", fake_t_sync)
+    monkeypatch.setattr(exec_timing, "_t_delta", fake_t_delta)
 
     t = exec_timing.execution_time(lambda v: v, None, auto_scale=True)
     # 0.5 us/op resolves only at K=3000/30000 (13.5 ms > 2 ms floor)
