@@ -52,11 +52,17 @@ def test_pallas_fuzz(shape):
 # ---------------------------------------------------------------------------
 
 def test_envelope_default_band_at_measured_top():
-    """7168-wide at the default band was measured on hardware
-    (benchmarks/tuning/size_sweep.py): must fit WITHOUT band shrink."""
+    """Round-4 envelope probe anchors (benchmarks/tuning/envelope_probe.py,
+    DESIGN §1): fresh conv-5x5 compiles pass at band 112 x width 5120 and
+    band 88 x width 7168 but fail at band 112 x width 6144, so the fitted
+    band must keep 112 through 5120 and sit at <= 88 by 7168."""
     from dip_benchmark_tpu.utils import image as im
+    assert make_layout(3504, 2336).band == 112   # benchmark image: unchanged
+    assert make_layout(1024, 5120).band == 112   # measured pass at 112
+    fitted = make_layout(1024, 7168).band
+    assert 8 <= fitted <= 88                     # measured pass at 88
+    assert make_layout(1024, 6144).band < 112    # measured fail at 112
     layout = make_layout(7168, 7168)
-    assert layout.band == 112
     assert im.windowed_vmem_bytes(layout, 1) <= im.VMEM_BUDGET
 
 
