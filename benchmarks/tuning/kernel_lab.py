@@ -24,8 +24,6 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from dip_benchmark_tpu import spec  # noqa: E402
 from dip_benchmark_tpu.ops.pallas import window  # noqa: E402

@@ -21,7 +21,6 @@ Candidate fast formulations (bit-exact checked vs the oracle):
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time

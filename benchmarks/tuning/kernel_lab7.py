@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 from dip_benchmark_tpu import oracle, spec  # noqa: E402
 from dip_benchmark_tpu.ops.pallas import build_ops  # noqa: E402
 from dip_benchmark_tpu.ops.pallas.window import (  # noqa: E402
-    _shift, _windowed_call, factor_rank1_int)
+    _windowed_call, factor_rank1_int)
 from dip_benchmark_tpu.utils.image import (  # noqa: E402
     load_image, make_layout, to_planar_padded)
 

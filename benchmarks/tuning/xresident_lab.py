@@ -61,7 +61,7 @@ from dip_benchmark_tpu.parallel.ops import (  # noqa: E402
     build_sharded_ops)
 from dip_benchmark_tpu.runtime.cache import enable_compilation_cache  # noqa: E402
 from dip_benchmark_tpu.utils.image import (  # noqa: E402
-    load_image, make_layout, to_planar_padded)
+    make_layout, to_planar_padded)
 from dip_benchmark_tpu.utils.testimage import resolve_image  # noqa: E402
 
 K1 = int(os.environ.get("K1", "20"))

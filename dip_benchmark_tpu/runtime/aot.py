@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 
 
 def _table(session):
@@ -35,9 +34,9 @@ def warm(session) -> dict:
     programs are jitted, so `.lower().compile()` applies unchanged; the
     compile captures the mesh + sharding of the resident buffer).
     Returns {csv_column: jax.stages.Compiled}."""
-    src = _table(session)[1]
+    ops, src = _table(session)
     compiled = {}
-    for col, fn in _table(session)[0].items():
+    for col, fn in ops.items():
         compiled[col] = fn.lower(src).compile()
     return compiled
 

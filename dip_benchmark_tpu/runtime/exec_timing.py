@@ -102,8 +102,15 @@ def execution_time(op: Callable, x: jax.Array, banded: bool = False,
     so fast ops on small images stay measurable instead of clamping to 0.
     """
     chain = _chain_banded if banded else _chain_direct
+    compiled = {}  # k -> compiled chain; a x10 rescale reuses K2 as K1
+
+    def get(k):
+        if k not in compiled:
+            compiled[k] = chain(op, k, x)
+        return compiled[k]
+
     while True:
-        f1, f2 = chain(op, k1, x), chain(op, k2, x)
+        f1, f2 = get(k1), get(k2)
         delta = _t_delta(f1, f2, x, samples)
         if not auto_scale or delta >= RESOLVE_FLOOR_S or k2 * 10 > max_k2:
             return max(0.0, delta / (k2 - k1))

@@ -57,7 +57,7 @@ def test_envelope_default_band_at_measured_top():
     band 88 x width 7168 but fail at band 112 x width 6144, so the fitted
     band must keep 112 through 5120 and sit at <= 88 by 7168."""
     from dip_benchmark_tpu.utils import image as im
-    assert make_layout(3504, 2336).band == 112   # benchmark image: unchanged
+    assert make_layout(2336, 3504).band == 112   # benchmark image: unchanged
     assert make_layout(1024, 5120).band == 112   # measured pass at 112
     fitted = make_layout(1024, 7168).band
     assert 8 <= fitted <= 88                     # measured pass at 88

@@ -115,8 +115,10 @@ def test_execution_time_auto_scale(monkeypatch):
     monkeypatch.setattr(exec_timing, "_t_delta", fake_t_delta)
 
     t = exec_timing.execution_time(lambda v: v, None, auto_scale=True)
-    # 0.5 us/op resolves only at K=3000/30000 (13.5 ms > 2 ms floor)
-    assert built == [30, 300, 300, 3000, 3000, 30000]
+    # 0.5 us/op resolves only at K=3000/30000 (13.5 ms > 2 ms floor);
+    # each x10 rescale reuses the old K2 chain as the new K1 (one fresh
+    # compile per step, not two)
+    assert built == [30, 300, 3000, 30000]
     assert abs(t - 0.5e-6) < 1e-12
 
     # hand-picked K (tests, labs) never rescales
