@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
 """Size-envelope probe (round 4, VERDICT #7).
 
-make_layout now enforces a VMEM envelope via `windowed_vmem_bytes`
-(utils/image.py): the default 112-row band is estimated to carry widths
-to ~12.8k columns (uint8), with the band cap shrinking beyond. This probe
-MEASURES the envelope's top on real hardware:
+make_layout enforces a VMEM envelope via `windowed_vmem_bytes`
+(utils/image.py). This probe MEASURES the envelope on real hardware —
+its runs FALSIFIED two prior constant sets (TEMP_ROW_FACTOR 2 /
+16 MiB, then budget 15.5 MiB: conv-5x5 HTTP-500s at band 112 x
+width 5888, est 15.42 MiB — docs/artifacts/envelope_probe_r4_before
+.txt and the width-5888 row of the current artifact) and the final
+constants (factor 5, budget 14.9 MiB — between conv's measured pass
+at est 14.86 and its rejection at 15.42) were bisected from those
+failures. Default widths probe the recalibrated boundary:
 
-  - width 7168: the round-3 size_sweep anchor (band 112, known-good)
-  - width 12800: the widest band-112 layout the estimator admits —
-    if Mosaic OOMs here, TEMP_ROW_FACTOR is too optimistic; if it runs,
-    the documented envelope has a measured point at its edge
-  - width 16384: past the band-112 cap — exercises the fitted smaller
-    band end-to-end on hardware
+  - width 5888: the exact width where the 15.5 MiB budget admitted a
+    band-112 conv layout the compiler rejects; under 14.9 MiB it fits
+    band 104 (est 14.37 MiB) — this point passing is the recalibration's
+    validity check, and a FUTURE toolchain re-accepting band 112 here
+    means the constants have become too conservative
+  - width 7168: fitted-band regime (band 88, est 14.86 MiB — the
+    measured conv pass nearest the budget; the round-3 toolchain
+    accepted band 112 here — drift marker)
+  - width 16384: deep band-cap regime (band 32)
+
+Re-run after any toolchain change (STATUS.md open items).
 
 Each point runs Erosion-3x3-Square and Convolution-5x5 through the
 P-path kernels, bit-checks a row stripe against the NumPy/native oracle,
@@ -45,7 +55,7 @@ from dip_benchmark_tpu.utils.image import (  # noqa: E402
 K1 = int(os.environ.get("K1", "10"))
 K2 = int(os.environ.get("K2", "50"))
 WIDTHS = [int(w) for w in os.environ.get(
-    "WIDTHS", "7168,12800,16384").split(",")]
+    "WIDTHS", "5888,7168,16384").split(",")]
 HEIGHT = int(os.environ.get("HEIGHT", "1024"))
 COLS = ["Erosion-3x3-Square", "Convolution-5x5"]
 
@@ -59,7 +69,7 @@ def main() -> int:
         est = image_mod.windowed_vmem_bytes(layout, 1)
         print(f"width {width}: band {layout.band} "
               f"(est {est / 2**20:.2f} MiB of "
-              f"{image_mod.VMEM_BUDGET // 2**20} MiB)", flush=True)
+              f"{image_mod.VMEM_BUDGET / 2**20:.1f} MiB)", flush=True)
         image = rng.integers(0, 256, size=(HEIGHT, width, 3), dtype=np.uint8)
         planar = jax.device_put(to_planar_padded(image, layout))
         ops = pallas_ops.build_ops(layout)
