@@ -9,7 +9,18 @@ check with a clear message and an explicit --backend cpu escape hatch
 
 from __future__ import annotations
 
+import os
+import threading
+
 import jax
+
+# Backend-initialization deadline for the gate (seconds). A healthy relay
+# rig brings the TPU plugin up in ~90 s on first contact; a DEAD tunnel
+# blocks jax.devices() inside the PJRT C API for tens of minutes before
+# erroring (observed 28 min, round 4), which breaks the fail-fast
+# contract. 8 min clears every healthy init observed on this rig with
+# margin; override via env for slower rigs.
+GATE_TIMEOUT_S = float(os.environ.get("DIP_TPU_GATE_TIMEOUT_S", "480"))
 
 
 class DeviceGateError(RuntimeError):
@@ -24,15 +35,53 @@ def default_device() -> jax.Device:
     return jax.devices()[0]
 
 
-def require_device(backend: str = "tpu") -> jax.Device:
-    """Fail fast (like the reference gates) if the requested backend is absent.
+def _call_with_deadline(fn, timeout_s: float, what: str):
+    """Run fn() in a daemon thread; raise DeviceGateError if it does not
+    return within timeout_s. The blocked thread cannot be cancelled (it is
+    inside a C extension), but the gate's callers exit the process on
+    DeviceGateError, which reaps it — the point is a prompt, explained
+    exit instead of an indefinite silent hang."""
+    result: list = []
+    error: list = []
+
+    def run():
+        try:
+            result.append(fn())
+        except BaseException as e:  # re-raised typed below
+            error.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise DeviceGateError(
+            f"{what} did not complete within {timeout_s:.0f}s — the "
+            f"accelerator runtime appears hung (on relay rigs this means "
+            f"the TPU tunnel is down). Pass --backend cpu to run on host, "
+            f"or raise DIP_TPU_GATE_TIMEOUT_S.")
+    if error:
+        raise error[0]
+    return result[0]
+
+
+def require_device(backend: str = "tpu",
+                   timeout_s: float | None = None) -> jax.Device:
+    """Fail fast (like the reference gates) if the requested backend is
+    absent OR its initialization hangs past the deadline.
 
     backend: "tpu" (default), "cpu", or "any".
     """
+    if timeout_s is None:
+        timeout_s = GATE_TIMEOUT_S
     if backend == "any":
-        return default_device()
+        return _call_with_deadline(
+            default_device, timeout_s, "backend initialization")
     try:
-        devices = jax.devices(backend)
+        devices = _call_with_deadline(
+            lambda: jax.devices(backend), timeout_s,
+            f"{backend.upper()} backend initialization")
+    except DeviceGateError:
+        raise
     except RuntimeError as e:
         raise DeviceGateError(
             f"No {backend.upper()} backend available "

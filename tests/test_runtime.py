@@ -35,6 +35,24 @@ def test_gate_backend_shared_helper():
         gate_backend("tpu")
 
 
+def test_gate_hung_backend_init_times_out():
+    """Round-4 rig finding: a dead relay tunnel blocks jax.devices()
+    inside the PJRT C API for tens of minutes. The gate runs backend
+    discovery under a deadline and converts a hang into a prompt
+    DeviceGateError naming the remedy."""
+    import time
+    from dip_benchmark_tpu.runtime.device import _call_with_deadline
+
+    with pytest.raises(DeviceGateError, match="tunnel|hung"):
+        _call_with_deadline(lambda: time.sleep(30), 0.05,
+                            "TPU backend initialization")
+    # fast paths pass values and errors through unchanged
+    assert _call_with_deadline(lambda: 42, 5.0, "x") == 42
+    with pytest.raises(RuntimeError, match="boom"):
+        _call_with_deadline(lambda: (_ for _ in ()).throw(
+            RuntimeError("boom")), 5.0, "x")
+
+
 def test_check_chain_validation():
     from dip_benchmark_tpu.models.chain import check_chain
     assert check_chain(["Convolution-5x5", "Convolution-3x3"]) == (3, 3)
