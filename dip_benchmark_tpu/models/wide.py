@@ -1,0 +1,233 @@
+"""Beyond-envelope widths: the column-strip RESIDENT model.
+
+`make_layout` enforces the single-buffer width envelope (utils/image.py:
+the windowed kernels' per-band VMEM working set scales with padded
+width, so past ~52.7k uint8 columns no 8-row band fits the measured
+compiler budget — docs/DESIGN.md §1). Whole-slide medical scans routinely
+exceed that. This module removes the width bound the same way round 3
+removed the height bound for multi-chip: keep the image RESIDENT in N
+column strips, each a bog-standard `PlanarLayout` buffer (so the
+EXISTING Pallas kernels run unchanged, at full band — no new kernel
+code, at most two distinct strip layouts and therefore two compiles per
+op), and re-establish each strip's halo pads from its neighbors'
+interiors before every windowed application.
+
+Design notes (TPU-first):
+- Strips are the column analogue of the round-3 padded-resident row
+  shards (`utils/image.to_resident_planar`), but live on ONE device, so
+  the per-application halo refresh is two lane-dim `dynamic_update_slice`
+  copies per seam — no collective, no host round-trip. The refresh is
+  the column counterpart of `parallel/halo.refresh_resident_halo` +
+  `refresh_resident_cols`, giving the same contract those bought the
+  sharded model in round 4: applications compose BIT-EXACTLY at
+  arbitrary depth (the single-device reference re-establishes borders
+  every dispatch: sycl/benchmark.cpp:341-356).
+- Strip width defaults to the widest LANE multiple that keeps the
+  default 112-row band (the envelope's sweet spot), so a 100k-wide scan
+  runs the very same band-112 kernels the 3504-wide benchmark image
+  measures.
+- Interior seams bake TRUE neighbor columns (not mirrors): strip pads
+  index the GLOBAL mirror rule, so a single application is bit-identical
+  to the (hypothetical) single-buffer op, and the refresh keeps it so
+  under composition.
+
+[reference: the benchmark never exceeds 3504x2336 — this surface is the
+width-scaling extension SURVEY.md §5 leaves as the framework's seam.]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import spec
+from ..ops import pallas as pallas_ops
+from ..utils import image as image_mod
+from ..utils.image import LANE, PlanarLayout, make_layout
+
+#: Ops that read neighbor pixels (halo refresh required before applying).
+WINDOWED_COLS = frozenset((
+    "Erosion-3x3-Cross", "Erosion-3x3-Square", "Erosion-1x3+3x1-Square",
+    "Convolution-3x3", "Convolution-1x3+3x1", "Convolution-5x5",
+    "Convolution-1x5+5x1", "Gaussian-Blur-3x3", "Fused-Pipeline"))
+
+#: Device ops the wide model serves (memory rows are transfer benchmarks
+#: of the single-buffer session, not image ops).
+WIDE_COLS = ("Copy", "Inversion", "Grayscale", "Threshold") + tuple(
+    c for c in spec.CSV_COLUMNS if c in WINDOWED_COLS) + ("Fused-Pipeline",)
+WIDE_COLS = tuple(dict.fromkeys(WIDE_COLS))
+
+
+def default_strip_width(halo: int = image_mod.DEFAULT_HALO) -> int:
+    """Widest LANE multiple whose strip layout keeps the full default
+    band (112) under the measured VMEM budget."""
+    sw = LANE
+    while image_mod.fit_band(sw + LANE, halo=halo) == 112:
+        sw += LANE
+    return sw
+
+
+@dataclass(frozen=True)
+class WideLayout:
+    """Geometry of the column-strip resident model.
+
+    Strip i holds global columns [i*strip_width, i*strip_width + w_i)
+    with w_i = strip_width for interior strips and the remainder for the
+    last. All strips share the SAME band (the interior layout's), hence
+    the same padded height — seam copies are plain full-height slices.
+    """
+    height: int
+    width: int
+    channels: int
+    halo: int
+    strip_width: int
+    layouts: tuple[PlanarLayout, ...]  # one per strip (<= 2 distinct)
+
+    @property
+    def n_strips(self) -> int:
+        return len(self.layouts)
+
+    def col0(self, i: int) -> int:
+        return i * self.strip_width
+
+
+def make_wide_layout(height: int, width: int, channels: int = 3,
+                     halo: int = image_mod.DEFAULT_HALO,
+                     strip_width: int | None = None) -> WideLayout:
+    """Build the strip plan. strip_width is clamped to a LANE multiple;
+    the default keeps every strip at the full 112-row band."""
+    sw = strip_width if strip_width is not None else default_strip_width(halo)
+    sw = max(LANE, sw // LANE * LANE)
+    n = max(1, -(-width // sw))
+    w_last = width - (n - 1) * sw
+    interior = make_layout(height, min(sw, width), channels, halo=halo)
+    layouts = [interior] * (n - 1)
+    layouts.append(interior if w_last == interior.width else make_layout(
+        height, w_last, channels, halo=halo, band=interior.band))
+    assert all(lo.padded_height == interior.padded_height for lo in layouts)
+    return WideLayout(height, width, channels, halo, sw, tuple(layouts))
+
+
+def to_wide_resident(image: np.ndarray, wl: WideLayout) -> list[np.ndarray]:
+    """uint8 HWC -> list of (C, Hp, Wp_i) strip buffers. Pads bake the
+    GLOBAL mirror rule: interior seams hold true neighbor columns, outer
+    edges the spec mirror — so the resident state is exact from the
+    first application."""
+    h, w, c = image.shape
+    assert (h, w, c) == (wl.height, wl.width, wl.channels)
+    planar = np.transpose(image, (2, 0, 1))  # (C, H, W)
+    strips = []
+    for i, lo in enumerate(wl.layouts):
+        hp = lo.padded_height
+        ys = np.clip(spec.mirror_index(np.arange(hp) - lo.pad_y, h), 0, h - 1)
+        xs = np.clip(spec.mirror_index(
+            wl.col0(i) + np.arange(lo.padded_width) - lo.pad_x, w), 0, w - 1)
+        strips.append(np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]]))
+    return strips
+
+
+def from_wide_resident(strips, wl: WideLayout) -> np.ndarray:
+    """List of strip buffers -> uint8 HWC, cropping pads per strip."""
+    parts = []
+    for s, lo in zip(strips, wl.layouts):
+        s = np.asarray(s)
+        parts.append(s[:, lo.pad_y:lo.pad_y + lo.height,
+                       lo.pad_x:lo.pad_x + lo.width])
+    return np.ascontiguousarray(
+        np.transpose(np.concatenate(parts, axis=2), (1, 2, 0)))
+
+
+def _refresh_rows(buf: jnp.ndarray, lo: PlanarLayout) -> jnp.ndarray:
+    """Local row-pad re-mirror (the n=1 case of refresh_resident_halo):
+    rows [0, pad_y) <- flip of valid rows [1, pad_y], rows
+    [pad_y + H, pad_y + H + pad_y) <- flip of the last pad_y valid rows.
+    Runs over the full strip width so already-correct column pads keep
+    consistent corners."""
+    py, h = lo.pad_y, lo.height
+    valid = buf[:, py:py + h]
+    top = jnp.flip(valid[:, 1:py + 1], axis=1)
+    bot = jnp.flip(valid[:, h - py:h], axis=1)
+    buf = lax.dynamic_update_slice(buf, top, (0, 0, 0))
+    return lax.dynamic_update_slice(buf, bot, (0, py + h, 0))
+
+
+def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
+    """Re-establish every strip's halo pads from the current valid
+    pixels: row pads by the local mirror rule, column pads from the
+    NEIGHBOR strip's edge interior (outer edges: mirror). Purely
+    functional — all sources are valid-region slices of the inputs, so
+    there is no intra-refresh ordering hazard. After any op (windowed
+    ops shrink pad validity; point ops leave pads stale), one refresh
+    restores the exact resident invariant — applications therefore
+    compose bit-exactly at arbitrary depth (tests/test_wide.py)."""
+    rowed = [_refresh_rows(s, lo) for s, lo in zip(strips, wl.layouts)]
+    px = wl.halo
+    out = []
+    for i, (s, lo) in enumerate(zip(rowed, wl.layouts)):
+        if i == 0:
+            left = jnp.flip(s[..., px + 1:2 * px + 1], axis=-1)
+        else:
+            prev, plo = rowed[i - 1], wl.layouts[i - 1]
+            left = prev[..., plo.pad_x + plo.width - px:plo.pad_x + plo.width]
+        if i == wl.n_strips - 1:
+            right = jnp.flip(s[..., lo.width:px + lo.width], axis=-1)
+        else:
+            right = rowed[i + 1][..., px:2 * px]
+        s = lax.dynamic_update_slice_in_dim(s, left, 0, axis=-1)
+        s = lax.dynamic_update_slice_in_dim(s, right, lo.pad_x + lo.width,
+                                            axis=-1)
+        out.append(s)
+    return out
+
+
+def build_wide_ops(wl: WideLayout) -> dict:
+    """CSV-column-keyed callables over the strip list. Kernels are built
+    once per DISTINCT strip layout (interior + possibly the last strip)
+    and shared across strips; windowed ops refresh the halo pads first,
+    inside the same jit."""
+    per_layout: dict[PlanarLayout, dict] = {}
+    for lo in wl.layouts:
+        if lo not in per_layout:
+            per_layout[lo] = pallas_ops.build_ops(lo)
+
+    def make(col):
+        needs_halo = col in WINDOWED_COLS
+
+        @jax.jit
+        def op(strips):
+            if needs_halo:
+                strips = refresh_wide(list(strips), wl)
+            return [per_layout[lo][col](s)
+                    for s, lo in zip(strips, wl.layouts)]
+        return op
+
+    return {col: make(col) for col in WIDE_COLS}
+
+
+def wide_chain(wl: WideLayout, cols: tuple[str, ...]):
+    """Compose device ops over the resident strips: one refresh per
+    windowed stage (the composition contract), all stages in ONE jit.
+    Stage radii must fit the strip halo per application — every matrix
+    op does (max radius 2 == DEFAULT_HALO)."""
+    ops = build_wide_ops(wl)
+    for c in cols:
+        assert c in ops, c
+
+    @jax.jit
+    def chain(strips):
+        strips = list(strips)
+        for c in cols:
+            strips = ops[c](strips)
+        return strips
+
+    return chain
+
+
+def put_wide(strips) -> list[jax.Array]:
+    """Host strip list -> device-resident strip list."""
+    return [jax.device_put(s) for s in strips]

@@ -1,0 +1,109 @@
+"""Column-strip resident model (models/wide.py): beyond-envelope widths.
+
+Strip widths are forced tiny here so a small image exercises multiple
+strips, both seam kinds (interior neighbor copy + outer mirror), a
+remainder last strip, and arbitrary-depth composition — all in Pallas
+interpret mode on CPU, bit-exact vs the NumPy oracle.
+"""
+
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import oracle
+from dip_benchmark_tpu.models import wide
+from dip_benchmark_tpu.utils.image import LANE
+
+
+def _img(h, w, seed=3):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_wide_layout_plan():
+    wl = wide.make_wide_layout(40, 300, strip_width=LANE)
+    assert wl.n_strips == 3
+    assert [lo.width for lo in wl.layouts] == [128, 128, 44]
+    assert len({lo.band for lo in wl.layouts}) == 1
+    assert len({lo.padded_height for lo in wl.layouts}) == 1
+    # single-strip degenerate
+    assert wide.make_wide_layout(40, 100, strip_width=LANE).n_strips == 1
+
+
+def test_wide_default_strip_width_keeps_full_band():
+    sw = wide.default_strip_width()
+    assert sw % LANE == 0
+    from dip_benchmark_tpu.utils.image import fit_band
+    assert fit_band(sw) == 112
+    assert fit_band(sw + LANE) < 112
+
+
+def test_wide_round_trip():
+    img = _img(24, 333)
+    wl = wide.make_wide_layout(24, 333, strip_width=LANE)
+    strips = wide.to_wide_resident(img, wl)
+    np.testing.assert_array_equal(wide.from_wide_resident(strips, wl), img)
+
+
+@pytest.mark.parametrize("col", [
+    "Inversion", "Grayscale", "Threshold", "Copy",
+    "Erosion-3x3-Cross", "Erosion-3x3-Square", "Erosion-1x3+3x1-Square",
+    "Convolution-3x3", "Convolution-1x3+3x1", "Convolution-5x5",
+    "Convolution-1x5+5x1", "Gaussian-Blur-3x3", "Fused-Pipeline"])
+def test_wide_ops_bit_exact(col):
+    img = _img(21, 300)  # 3 strips: two interior seams + remainder strip
+    wl = wide.make_wide_layout(21, 300, strip_width=LANE)
+    strips = wide.put_wide(wide.to_wide_resident(img, wl))
+    ops = wide.build_wide_ops(wl)
+    got = wide.from_wide_resident(ops[col](strips), wl)
+    np.testing.assert_array_equal(got, oracle.IMAGE_OPS[col](img),
+                                  err_msg=col)
+
+
+@pytest.mark.parametrize("col,k", [("Erosion-3x3-Square", 5),
+                                   ("Convolution-5x5", 3),
+                                   ("Gaussian-Blur-3x3", 4)])
+def test_wide_composition_arbitrary_depth(col, k):
+    """The resident contract: repeated applications through the strip
+    model stay bit-exact at depths far beyond the pad budget (the halo
+    refresh re-establishes seams every application)."""
+    img = _img(16, 280, seed=11)
+    wl = wide.make_wide_layout(16, 280, strip_width=LANE)
+    strips = wide.put_wide(wide.to_wide_resident(img, wl))
+    op = wide.build_wide_ops(wl)[col]
+    want = img
+    for _ in range(k):
+        strips = op(strips)
+        want = oracle.IMAGE_OPS[col](want)
+    np.testing.assert_array_equal(wide.from_wide_resident(strips, wl), want)
+
+
+def test_wide_chain_one_jit():
+    img = _img(18, 290, seed=7)
+    wl = wide.make_wide_layout(18, 290, strip_width=LANE)
+    strips = wide.put_wide(wide.to_wide_resident(img, wl))
+    chain = wide.wide_chain(
+        wl, ("Inversion", "Erosion-3x3-Square", "Convolution-3x3"))
+    got = wide.from_wide_resident(chain(strips), wl)
+    want = oracle.IMAGE_OPS["Convolution-3x3"](
+        oracle.IMAGE_OPS["Erosion-3x3-Square"](
+            oracle.IMAGE_OPS["Inversion"](img)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_matches_single_buffer_semantics():
+    """A width INSIDE the envelope produces identical results through the
+    wide model and the plain single-buffer path."""
+    import jax
+    from dip_benchmark_tpu.ops import pallas as pallas_ops
+    from dip_benchmark_tpu.utils.image import (
+        from_planar_padded, make_layout, to_planar_padded)
+    img = _img(20, 310, seed=5)
+    layout = make_layout(20, 310)
+    single = pallas_ops.build_ops(layout)["Erosion-3x3-Cross"](
+        jax.device_put(to_planar_padded(img, layout)))
+    wl = wide.make_wide_layout(20, 310, strip_width=LANE)
+    strips = wide.build_wide_ops(wl)["Erosion-3x3-Cross"](
+        wide.put_wide(wide.to_wide_resident(img, wl)))
+    np.testing.assert_array_equal(
+        wide.from_wide_resident(strips, wl),
+        from_planar_padded(np.asarray(single), layout))
