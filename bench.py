@@ -110,8 +110,23 @@ def main() -> int:
 
     from dip_benchmark_tpu.harness import BenchmarkRunner
     from dip_benchmark_tpu.runtime.cache import enable_compilation_cache
+    from dip_benchmark_tpu.runtime.device import (DeviceGateError,
+                                                  require_device)
     enable_compilation_cache()
     from dip_benchmark_tpu.session import BenchmarkSession
+
+    # Fail fast (and parseably) if the accelerator runtime is hung: a dead
+    # relay tunnel otherwise blocks the first device_put inside the PJRT C
+    # API for tens of minutes (observed round 4) before surfacing
+    # UNAVAILABLE. The gate bounds that to DIP_TPU_GATE_TIMEOUT_S.
+    try:
+        require_device("any")
+    except DeviceGateError as e:
+        print(f"bench: {e}", file=sys.stderr)
+        print(json.dumps({"metric": "dip12_compute_geomean_latency",
+                          "value": None, "unit": "us", "vs_baseline": None,
+                          "error": str(e)}))
+        return 1
 
     # Shared input rule (utils/testimage.resolve_image): $DIP_TPU_IMAGE,
     # else the reference fundus.jpg if mounted, else the deterministic
