@@ -185,15 +185,11 @@ def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
     return out
 
 
-def build_wide_ops(wl: WideLayout) -> dict:
-    """CSV-column-keyed callables over the strip list. Kernels are built
-    once per DISTINCT strip layout (interior + possibly the last strip)
-    and shared across strips; windowed ops refresh the halo pads first,
-    inside the same jit."""
+def _build_wide(wl: WideLayout, builder) -> dict:
     per_layout: dict[PlanarLayout, dict] = {}
     for lo in wl.layouts:
         if lo not in per_layout:
-            per_layout[lo] = pallas_ops.build_ops(lo)
+            per_layout[lo] = builder(lo)
 
     def make(col):
         needs_halo = col in WINDOWED_COLS
@@ -207,6 +203,39 @@ def build_wide_ops(wl: WideLayout) -> dict:
         return op
 
     return {col: make(col) for col in WIDE_COLS}
+
+
+def build_wide_ops(wl: WideLayout) -> dict:
+    """CSV-column-keyed callables over the strip list. Kernels are built
+    once per DISTINCT strip layout (interior + possibly the last strip)
+    and shared across strips; windowed ops refresh the halo pads first,
+    inside the same jit."""
+    return _build_wide(wl, pallas_ops.build_ops)
+
+
+def build_wide_ops_f32(wl: WideLayout) -> dict:
+    """The f32 planar-[0,1] data model over the strip list (the CUDA.jl
+    parity variant) — same strip plan, same refresh (the halo logic is
+    dtype-agnostic), f32 kernels per distinct layout."""
+    return _build_wide(wl, pallas_ops.build_f32_ops)
+
+
+def to_wide_resident_f32(image: np.ndarray, wl: WideLayout):
+    """uint8 HWC -> f32 [0,1] strip buffers (exact: u8/255 commutes with
+    the mirror/seam indexing)."""
+    return [s.astype(np.float32) / np.float32(255)
+            for s in to_wide_resident(image, wl)]
+
+
+def from_wide_resident_f32(strips, wl: WideLayout) -> np.ndarray:
+    """f32 strip buffers -> (C, H, W) f32 planar (the f32 model's native
+    shape), cropping pads per strip."""
+    parts = []
+    for s, lo in zip(strips, wl.layouts):
+        s = np.asarray(s)
+        parts.append(s[:, lo.pad_y:lo.pad_y + lo.height,
+                       lo.pad_x:lo.pad_x + lo.width])
+    return np.ascontiguousarray(np.concatenate(parts, axis=2))
 
 
 def wide_chain(wl: WideLayout, cols: tuple[str, ...]):

@@ -90,6 +90,35 @@ def test_wide_chain_one_jit():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("col", ["Inversion", "Grayscale",
+                                 "Erosion-3x3-Square", "Convolution-5x5",
+                                 "Gaussian-Blur-3x3", "Fused-Pipeline"])
+def test_wide_f32_matches_oracle(col):
+    from dip_benchmark_tpu import oracle_f32
+    img = _img(17, 290, seed=13)
+    wl = wide.make_wide_layout(17, 290, strip_width=LANE)
+    strips = wide.put_wide(wide.to_wide_resident_f32(img, wl))
+    got = wide.from_wide_resident_f32(
+        wide.build_wide_ops_f32(wl)[col](strips), wl)
+    want = oracle_f32.IMAGE_OPS_F32[col](oracle_f32.from_uint8_hwc(img))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-7, err_msg=col)
+
+
+def test_wide_f32_composition():
+    from dip_benchmark_tpu import oracle_f32
+    img = _img(16, 280, seed=17)
+    wl = wide.make_wide_layout(16, 280, strip_width=LANE)
+    strips = wide.put_wide(wide.to_wide_resident_f32(img, wl))
+    op = wide.build_wide_ops_f32(wl)["Erosion-3x3-Square"]
+    want = oracle_f32.from_uint8_hwc(img)
+    for _ in range(4):
+        strips = op(strips)
+        want = oracle_f32.IMAGE_OPS_F32["Erosion-3x3-Square"](want)
+    # erosion is a selection (no arithmetic): exact even composed
+    np.testing.assert_array_equal(
+        wide.from_wide_resident_f32(strips, wl), want)
+
+
 def test_wide_matches_single_buffer_semantics():
     """A width INSIDE the envelope produces identical results through the
     wide model and the plain single-buffer path."""
