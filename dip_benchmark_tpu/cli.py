@@ -149,10 +149,33 @@ def main(argv: list[str] | None = None) -> int:
     print(describe_device(device))
 
     image, filename = args.infile
+    needs_wide = False
+    if args.path == "pallas" and not args.shards:
+        from .utils.image import fit_band
+        needs_wide = fit_band(
+            image.shape[1],
+            itemsize=4 if args.dtype == "float32" else 1) == 0
     if args.shards:
         from .parallel.session import ShardedBenchmarkSession
         session = ShardedBenchmarkSession(image, n_devices=args.shards,
                                           path=args.path, dtype=args.dtype)
+    elif needs_wide:
+        # Width past the single-buffer VMEM envelope: run the column-strip
+        # resident model (models/wide.py) — same kernels, N strips, seam
+        # refresh per windowed application.
+        unsupported = [f for f, on in (("--warm", args.warm),
+                                       ("--chained", args.chained),
+                                       ("--fuse", args.fuse)) if on]
+        if unsupported:
+            print(f"{', '.join(unsupported)} not supported with the "
+                  f"beyond-envelope column-strip session", file=sys.stderr)
+            return 2
+        from .models.wide import WideBenchmarkSession
+        session = WideBenchmarkSession(image, dtype=args.dtype)
+        print(f"NOTE: width {image.shape[1]} exceeds the single-buffer "
+              f"envelope; using the column-strip resident model "
+              f"({session.wl.n_strips} strips of {session.wl.strip_width})",
+              file=sys.stderr)
     else:
         session = BenchmarkSession(image, path=args.path, device=device,
                                    dtype=args.dtype)

@@ -260,3 +260,132 @@ def wide_chain(wl: WideLayout, cols: tuple[str, ...]):
 def put_wide(strips) -> list[jax.Array]:
     """Host strip list -> device-resident strip list."""
     return [jax.device_put(s) for s in strips]
+
+
+class WideBenchmarkSession:
+    """The benchmark op table over the column-strip resident model: the
+    CLI's automatic fallback when the image width exceeds the
+    single-buffer envelope on the Pallas path (cli.py; the X-path has no
+    per-band VMEM window, so it takes any width directly).
+
+    Same 14-op contract as BenchmarkSession: Upload/Download move the
+    data model's working payload (uint8 HWC bytes, or the f32 planar for
+    --dtype float32), device ops run over the strip list, image dumps
+    and --verify reassemble via from_wide_resident. --exec works (the
+    chained-K marginal carries the strip pytree)."""
+
+    def __init__(self, host_image: np.ndarray, dtype: str = "uint8",
+                 strip_width: int | None = None):
+        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        if min(host_image.shape[:2]) < 5:
+            raise ValueError("image must be at least 5x5")
+        if dtype not in ("uint8", "float32"):
+            raise ValueError(f"Unknown dtype: {dtype!r}")
+        self.host_image = np.ascontiguousarray(host_image)
+        self.path = "pallas"
+        self.dtype = dtype
+        h, w, c = host_image.shape
+        self.wl = make_wide_layout(h, w, c, strip_width=strip_width)
+        if dtype == "float32":
+            from .. import oracle_f32
+            self._mem_host = oracle_f32.from_uint8_hwc(self.host_image)
+            strips = to_wide_resident_f32(self.host_image, self.wl)
+            self._ops = build_wide_ops_f32(self.wl)
+        else:
+            self._mem_host = self.host_image
+            strips = to_wide_resident(self.host_image, self.wl)
+            self._ops = build_wide_ops(self.wl)
+        self.strips_dev = jax.block_until_ready(put_wide(strips))
+        self._mem_dev = jax.block_until_ready(
+            jax.device_put(self._mem_host))
+        self._sample = None
+        self._chunked_dl = None  # lazy: Download's 'once' column
+
+    # -- memory ops (same payload rule as BenchmarkSession) ----------------
+
+    def _upload(self):
+        return jax.block_until_ready(jax.device_put(self._mem_host))
+
+    def _download(self):
+        if self._chunked_dl is None:
+            from ..runtime.transfer import make_chunked_download
+            self._chunked_dl = make_chunked_download(self._mem_dev)
+        return self._chunked_dl()
+
+    def _download_prepare(self):
+        np.asarray(jax.block_until_ready(
+            jax.device_put(np.zeros((8, 128), np.uint8))))
+
+    # -- table -------------------------------------------------------------
+
+    def _make_run(self, fn):
+        src = self.strips_dev
+
+        def run():
+            self._sample = jax.block_until_ready(fn(src))
+        return run
+
+    def _fetch(self) -> np.ndarray:
+        if self.dtype == "float32":
+            from .. import oracle_f32
+            return oracle_f32.to_uint8_hwc(
+                from_wide_resident_f32(self._sample, self.wl))
+        return from_wide_resident(self._sample, self.wl)
+
+    def _no_image(self) -> np.ndarray:
+        raise RuntimeError("memory ops produce no image")
+
+    def operations(self, include_pipeline: bool = False):
+        from ..harness import Operation
+        ops = []
+        for desc, prefix, col in spec.OPERATION_MATRIX:
+            if col == "Upload":
+                ops.append(Operation(desc, prefix, col, self._upload,
+                                     self._no_image))
+            elif col == "Download":
+                ops.append(Operation(desc, prefix, col, self._download,
+                                     self._no_image,
+                                     prepare=self._download_prepare,
+                                     downloads=True))
+            else:
+                ops.append(Operation(desc, prefix, col,
+                                     self._make_run(self._ops[col]),
+                                     self._fetch))
+        if include_pipeline:
+            ops.append(Operation(
+                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)",
+                "pipeline", "Fused-Pipeline",
+                self._make_run(self._ops["Fused-Pipeline"]), self._fetch))
+        return ops
+
+    def execution_table(self, include_pipeline: bool = False,
+                        k1: int = 30, k2: int = 300, samples: int = 5,
+                        auto_scale: bool = False):
+        """TRUE per-application execution over the strip model (the
+        chained-K marginal carries the strip list as its fori_loop
+        state; wide ops are shape-preserving by construction)."""
+        from ..runtime.exec_timing import execution_time
+        cols = [c for _, _, c in spec.OPERATION_MATRIX
+                if c not in ("Upload", "Download")]
+        if include_pipeline:
+            cols.append("Fused-Pipeline")
+        return [(c, execution_time(self._ops[c], self.strips_dev,
+                                   k1=k1, k2=k2, samples=samples,
+                                   auto_scale=auto_scale))
+                for c in cols]
+
+    @property
+    def verify_atol(self) -> int:
+        return 1 if self.dtype == "float32" else 0
+
+    def oracle_ops(self) -> dict:
+        if self.dtype == "float32":
+            from .. import oracle_f32
+
+            def wrap(col):
+                fn = oracle_f32.IMAGE_OPS_F32[col]
+                return lambda im: oracle_f32.to_uint8_hwc(
+                    fn(oracle_f32.from_uint8_hwc(im)))
+            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+        from .. import native, oracle
+        return native.image_ops() if native.available() else oracle.IMAGE_OPS

@@ -71,14 +71,18 @@ def _t_delta(f1: Callable, f2: Callable, x: jax.Array,
     Running each pair back-to-back puts both legs inside the same weather
     and the difference cancels it; the median then only has to reject
     single-call spikes."""
+    def force(y):
+        # One element of the FIRST leaf: pytree-general (the wide session's
+        # chains carry strip lists), and never a whole-buffer D2H.
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
     ds = []
     for _ in range(samples):
         t0 = time.perf_counter()
-        y = f1(x)
-        np.asarray(y.ravel()[0] if hasattr(y, "ravel") else y[0])
+        force(f1(x))
         t1 = time.perf_counter()
-        y = f2(x)
-        np.asarray(y.ravel()[0] if hasattr(y, "ravel") else y[0])
+        force(f2(x))
         ds.append((time.perf_counter() - t1) - (t1 - t0))
     return float(np.median(ds))
 

@@ -119,6 +119,66 @@ def test_wide_f32_composition():
         wide.from_wide_resident_f32(strips, wl), want)
 
 
+def test_wide_session_end_to_end(tmp_path):
+    from dip_benchmark_tpu.harness import BenchmarkRunner
+    img = _img(21, 300, seed=19)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    runner = BenchmarkRunner(s.operations(include_pipeline=True), rounds=2)
+    results = runner.run(filename="w.png", outdir=str(tmp_path),
+                         verify_against=img, verify_ops=s.oracle_ops(),
+                         verify_atol=s.verify_atol, quiet=True)
+    assert len(results) == 15
+    assert (tmp_path / "inversion-w.png").exists()
+
+
+def test_wide_session_f32(tmp_path):
+    from dip_benchmark_tpu.harness import BenchmarkRunner
+    img = _img(19, 290, seed=23)
+    s = wide.WideBenchmarkSession(img, dtype="float32", strip_width=LANE)
+    runner = BenchmarkRunner(s.operations(), rounds=1)
+    results = runner.run(filename="w.png", outdir=str(tmp_path),
+                         verify_against=img, verify_ops=s.oracle_ops(),
+                         verify_atol=s.verify_atol, quiet=True)
+    assert len(results) == 14
+
+
+def test_wide_session_exec_table():
+    img = _img(16, 280, seed=29)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    rows = s.execution_table(k1=1, k2=2, samples=1)
+    assert [c for c, _ in rows] == [
+        c for _, _, c in __import__(
+            "dip_benchmark_tpu.spec", fromlist=["spec"]).OPERATION_MATRIX
+        if c not in ("Upload", "Download")]
+    assert all(t >= 0 for _, t in rows)
+
+
+def test_cli_wide_fallback(tmp_path, monkeypatch, capsys):
+    """An image the CLI's envelope probe deems too wide routes to the
+    column-strip session and the full contract still runs green."""
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.utils import image as image_mod
+    from dip_benchmark_tpu.utils.image import save_image
+    orig = image_mod.fit_band
+
+    def fake(width, halo=image_mod.DEFAULT_HALO, itemsize=1, cap=112):
+        # widths past 200 "exceed the envelope"; real strips (128-col)
+        # still resolve through the true estimator
+        return 0 if width > 200 else orig(width, halo, itemsize, cap)
+    monkeypatch.setattr(image_mod, "fit_band", fake)
+    img = _img(21, 300, seed=31)
+    path = tmp_path / "wide.png"
+    save_image(str(path), img)
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--verify"])
+    assert rc == 0
+    assert "column-strip resident model" in capsys.readouterr().err
+    # unsupported combos refuse loudly instead of crashing
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--warm"])
+    assert rc == 2
+
+
 def test_wide_matches_single_buffer_semantics():
     """A width INSIDE the envelope produces identical results through the
     wide model and the plain single-buffer path."""
