@@ -63,11 +63,14 @@ WIDE_COLS = ("Copy", "Inversion", "Grayscale", "Threshold") + tuple(
 WIDE_COLS = tuple(dict.fromkeys(WIDE_COLS))
 
 
-def default_strip_width(halo: int = image_mod.DEFAULT_HALO) -> int:
+def default_strip_width(halo: int = image_mod.DEFAULT_HALO,
+                        itemsize: int = 1) -> int:
     """Widest LANE multiple whose strip layout keeps the full default
-    band (112) under the measured VMEM budget."""
+    band (112) under the measured VMEM budget, for this data model's
+    device itemsize (1 = uint8, 4 = f32 — the f32 windows are 4x wider
+    in bytes, so its strips are narrower: ~3.9k vs ~5.6k)."""
     sw = LANE
-    while image_mod.fit_band(sw + LANE, halo=halo) == 112:
+    while image_mod.fit_band(sw + LANE, halo=halo, itemsize=itemsize) == 112:
         sw += LANE
     return sw
 
@@ -87,6 +90,7 @@ class WideLayout:
     halo: int
     strip_width: int
     layouts: tuple[PlanarLayout, ...]  # one per strip (<= 2 distinct)
+    itemsize: int = 1
 
     @property
     def n_strips(self) -> int:
@@ -98,19 +102,43 @@ class WideLayout:
 
 def make_wide_layout(height: int, width: int, channels: int = 3,
                      halo: int = image_mod.DEFAULT_HALO,
-                     strip_width: int | None = None) -> WideLayout:
+                     strip_width: int | None = None,
+                     itemsize: int = 1) -> WideLayout:
     """Build the strip plan. strip_width is clamped to a LANE multiple;
-    the default keeps every strip at the full 112-row band."""
-    sw = strip_width if strip_width is not None else default_strip_width(halo)
+    the default keeps every strip at the full 112-row band for this
+    itemsize (pass itemsize=4 for the f32 model — its strips and bands
+    must fit 4-byte windows, exactly like make_layout's knob).
+
+    A remainder narrower than the halo is MERGED into the previous
+    strip (the seam refresh reads `halo` valid columns from each side,
+    so every strip must carry at least that many; the merged width stays
+    within the same lane-padded Wp, hence the same band)."""
+    sw = (strip_width if strip_width is not None
+          else default_strip_width(halo, itemsize))
     sw = max(LANE, sw // LANE * LANE)
     n = max(1, -(-width // sw))
     w_last = width - (n - 1) * sw
-    interior = make_layout(height, min(sw, width), channels, halo=halo)
+    if n > 1 and w_last < halo:
+        n -= 1
+        w_last += sw
+    interior = make_layout(height, min(sw, width), channels, halo=halo,
+                           itemsize=itemsize)
     layouts = [interior] * (n - 1)
     layouts.append(interior if w_last == interior.width else make_layout(
-        height, w_last, channels, halo=halo, band=interior.band))
+        height, w_last, channels, halo=halo, band=interior.band,
+        itemsize=itemsize))
     assert all(lo.padded_height == interior.padded_height for lo in layouts)
-    return WideLayout(height, width, channels, halo, sw, tuple(layouts))
+    total = sum(lo.padded_height * lo.padded_width for lo in layouts
+                ) * channels * itemsize
+    if total > image_mod.HBM_BUFFER_CAP:
+        raise ValueError(
+            f"{height}x{width}x{channels} at itemsize {itemsize} needs "
+            f"{total / 2**30:.1f} GiB of resident strip buffers (cap "
+            f"{image_mod.HBM_BUFFER_CAP // 2**30} GiB leaves room for "
+            f"outputs/workspace in ~16 GiB HBM) — shard rows across "
+            f"devices (--shards) or process row blocks")
+    return WideLayout(height, width, channels, halo, sw, tuple(layouts),
+                      itemsize)
 
 
 def to_wide_resident(image: np.ndarray, wl: WideLayout) -> list[np.ndarray]:
@@ -131,15 +159,20 @@ def to_wide_resident(image: np.ndarray, wl: WideLayout) -> list[np.ndarray]:
     return strips
 
 
-def from_wide_resident(strips, wl: WideLayout) -> np.ndarray:
-    """List of strip buffers -> uint8 HWC, cropping pads per strip."""
+def _crop_concat(strips, wl: WideLayout) -> np.ndarray:
+    """Strip buffers -> (C, H, W) planar: crop pads per strip, concat."""
     parts = []
     for s, lo in zip(strips, wl.layouts):
         s = np.asarray(s)
         parts.append(s[:, lo.pad_y:lo.pad_y + lo.height,
                        lo.pad_x:lo.pad_x + lo.width])
+    return np.concatenate(parts, axis=2)
+
+
+def from_wide_resident(strips, wl: WideLayout) -> np.ndarray:
+    """List of strip buffers -> uint8 HWC, cropping pads per strip."""
     return np.ascontiguousarray(
-        np.transpose(np.concatenate(parts, axis=2), (1, 2, 0)))
+        np.transpose(_crop_concat(strips, wl), (1, 2, 0)))
 
 
 def _refresh_rows(buf: jnp.ndarray, lo: PlanarLayout) -> jnp.ndarray:
@@ -210,13 +243,18 @@ def build_wide_ops(wl: WideLayout) -> dict:
     once per DISTINCT strip layout (interior + possibly the last strip)
     and shared across strips; windowed ops refresh the halo pads first,
     inside the same jit."""
+    assert wl.itemsize == 1, "uint8 ops need an itemsize=1 strip plan"
     return _build_wide(wl, pallas_ops.build_ops)
 
 
 def build_wide_ops_f32(wl: WideLayout) -> dict:
     """The f32 planar-[0,1] data model over the strip list (the CUDA.jl
     parity variant) — same strip plan, same refresh (the halo logic is
-    dtype-agnostic), f32 kernels per distinct layout."""
+    dtype-agnostic), f32 kernels per distinct layout. The plan MUST be
+    built with itemsize=4: f32 windows are 4x the bytes, so uint8-sized
+    strips would exceed the VMEM envelope on hardware."""
+    assert wl.itemsize == 4, (
+        "f32 ops need make_wide_layout(..., itemsize=4)")
     return _build_wide(wl, pallas_ops.build_f32_ops)
 
 
@@ -230,12 +268,7 @@ def to_wide_resident_f32(image: np.ndarray, wl: WideLayout):
 def from_wide_resident_f32(strips, wl: WideLayout) -> np.ndarray:
     """f32 strip buffers -> (C, H, W) f32 planar (the f32 model's native
     shape), cropping pads per strip."""
-    parts = []
-    for s, lo in zip(strips, wl.layouts):
-        s = np.asarray(s)
-        parts.append(s[:, lo.pad_y:lo.pad_y + lo.height,
-                       lo.pad_x:lo.pad_x + lo.width])
-    return np.ascontiguousarray(np.concatenate(parts, axis=2))
+    return np.ascontiguousarray(_crop_concat(strips, wl))
 
 
 def wide_chain(wl: WideLayout, cols: tuple[str, ...]):
@@ -285,7 +318,9 @@ class WideBenchmarkSession:
         self.path = "pallas"
         self.dtype = dtype
         h, w, c = host_image.shape
-        self.wl = make_wide_layout(h, w, c, strip_width=strip_width)
+        self.wl = make_wide_layout(
+            h, w, c, strip_width=strip_width,
+            itemsize=4 if dtype == "float32" else 1)
         if dtype == "float32":
             from .. import oracle_f32
             self._mem_host = oracle_f32.from_uint8_hwc(self.host_image)

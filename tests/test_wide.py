@@ -37,6 +37,47 @@ def test_wide_default_strip_width_keeps_full_band():
     assert fit_band(sw + LANE) < 112
 
 
+def test_wide_f32_plan_respects_f32_envelope():
+    """Review regression: the f32 model's strips must be sized for
+    4-byte VMEM windows — a uint8-sized plan would hand Mosaic a ~21 MiB
+    working set against the 14.9 MiB budget."""
+    from dip_benchmark_tpu.utils import image as im
+    sw = wide.default_strip_width(itemsize=4)
+    assert im.fit_band(sw, itemsize=4) == 112
+    assert sw < wide.default_strip_width(itemsize=1)
+    wl = wide.make_wide_layout(64, 3 * sw + 50, itemsize=4)
+    for lo in wl.layouts:
+        assert im.windowed_vmem_bytes(lo, 4) <= im.VMEM_BUDGET
+    s = wide.WideBenchmarkSession(_img(8, 300), dtype="float32")
+    assert s.wl.itemsize == 4
+    with pytest.raises(AssertionError, match="itemsize=4"):
+        wide.build_wide_ops_f32(wide.make_wide_layout(8, 300))
+
+
+def test_wide_remainder_narrower_than_halo_merged():
+    """Review regression: a remainder strip narrower than the halo
+    cannot feed the seam refresh (its neighbor reads `halo` valid
+    columns) — such remainders merge into the previous strip, and the
+    previously-corrupting case composes bit-exactly."""
+    wl = wide.make_wide_layout(16, 257, strip_width=LANE)
+    assert [lo.width for lo in wl.layouts] == [128, 129]
+    img = _img(16, 257, seed=37)
+    strips = wide.put_wide(wide.to_wide_resident(img, wl))
+    op = wide.build_wide_ops(wl)["Convolution-5x5"]
+    want = img
+    for _ in range(3):
+        strips = op(strips)
+        want = oracle.IMAGE_OPS["Convolution-5x5"](want)
+    np.testing.assert_array_equal(wide.from_wide_resident(strips, wl), want)
+
+
+def test_wide_aggregate_hbm_cap():
+    """Review regression: the strip plan enforces the resident-buffer
+    HBM cap in AGGREGATE, not just per strip."""
+    with pytest.raises(ValueError, match="GiB"):
+        wide.make_wide_layout(60_000, 60_000)
+
+
 def test_wide_round_trip():
     img = _img(24, 333)
     wl = wide.make_wide_layout(24, 333, strip_width=LANE)
@@ -96,7 +137,7 @@ def test_wide_chain_one_jit():
 def test_wide_f32_matches_oracle(col):
     from dip_benchmark_tpu import oracle_f32
     img = _img(17, 290, seed=13)
-    wl = wide.make_wide_layout(17, 290, strip_width=LANE)
+    wl = wide.make_wide_layout(17, 290, strip_width=LANE, itemsize=4)
     strips = wide.put_wide(wide.to_wide_resident_f32(img, wl))
     got = wide.from_wide_resident_f32(
         wide.build_wide_ops_f32(wl)[col](strips), wl)
@@ -107,7 +148,7 @@ def test_wide_f32_matches_oracle(col):
 def test_wide_f32_composition():
     from dip_benchmark_tpu import oracle_f32
     img = _img(16, 280, seed=17)
-    wl = wide.make_wide_layout(16, 280, strip_width=LANE)
+    wl = wide.make_wide_layout(16, 280, strip_width=LANE, itemsize=4)
     strips = wide.put_wide(wide.to_wide_resident_f32(img, wl))
     op = wide.build_wide_ops_f32(wl)["Erosion-3x3-Square"]
     want = oracle_f32.from_uint8_hwc(img)
