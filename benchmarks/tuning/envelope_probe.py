@@ -21,6 +21,14 @@ failures. Default widths probe the recalibrated boundary:
     accepted band 112 here — drift marker)
   - width 16384: deep band-cap regime (band 32)
 
+Set PROBE_BAND=112 to FORCE a band and re-attempt the layouts the
+budget rejects (bypassing make_layout's cap): that is how to observe a
+FUTURE toolchain re-accepting the rejected boundary (constants too
+conservative) — make_layout alone can never produce an over-budget
+layout, so without this knob the conservative direction of drift is
+undetectable. PROBE_BAND=48 WIDTHS=12800 reproduces the archived
+band-48 anchor row.
+
 Re-run after any toolchain change (STATUS.md open items).
 
 Each point runs Erosion-3x3-Square and Convolution-5x5 through the
@@ -57,7 +65,19 @@ K2 = int(os.environ.get("K2", "50"))
 WIDTHS = [int(w) for w in os.environ.get(
     "WIDTHS", "5888,7168,16384").split(",")]
 HEIGHT = int(os.environ.get("HEIGHT", "1024"))
+PROBE_BAND = int(os.environ.get("PROBE_BAND", "0"))  # 0 = fitted band
 COLS = ["Erosion-3x3-Square", "Convolution-5x5"]
+
+
+def _layout(width: int):
+    if PROBE_BAND:
+        # Bypass the budget cap: build the exact (possibly over-budget)
+        # layout, to re-attempt rejected boundary shapes (docstring).
+        from dip_benchmark_tpu.utils.image import (DEFAULT_HALO,
+                                                   PlanarLayout)
+        return PlanarLayout(HEIGHT, width, 3, pad_y=DEFAULT_HALO,
+                            pad_x=DEFAULT_HALO, band=PROBE_BAND)
+    return make_layout(HEIGHT, width)
 
 
 def main() -> int:
@@ -65,7 +85,7 @@ def main() -> int:
     ops_oracle = native.image_ops() if native.available() else oracle.IMAGE_OPS
     rng = np.random.default_rng(7)
     for width in WIDTHS:
-        layout = make_layout(HEIGHT, width)
+        layout = _layout(width)
         est = image_mod.windowed_vmem_bytes(layout, 1)
         print(f"width {width}: band {layout.band} "
               f"(est {est / 2**20:.2f} MiB of "

@@ -19,8 +19,17 @@ import jax
 # blocks jax.devices() inside the PJRT C API for tens of minutes before
 # erroring (observed 28 min, round 4), which breaks the fail-fast
 # contract. 8 min clears every healthy init observed on this rig with
-# margin; override via env for slower rigs.
-GATE_TIMEOUT_S = float(os.environ.get("DIP_TPU_GATE_TIMEOUT_S", "480"))
+# margin; override via env for slower rigs. Malformed values fall back
+# to the default (the gate must never itself crash an entry point's
+# import with a raw traceback).
+try:
+    GATE_TIMEOUT_S = float(os.environ.get("DIP_TPU_GATE_TIMEOUT_S", "480"))
+except ValueError:  # e.g. "8m" — plain seconds expected
+    import sys as _sys
+    print("warning: ignoring malformed DIP_TPU_GATE_TIMEOUT_S "
+          f"{os.environ['DIP_TPU_GATE_TIMEOUT_S']!r} (want seconds); "
+          "using 480", file=_sys.stderr)
+    GATE_TIMEOUT_S = 480.0
 
 
 class DeviceGateError(RuntimeError):

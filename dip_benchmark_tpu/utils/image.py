@@ -191,8 +191,8 @@ def make_layout(height: int, width: int, channels: int = 3,
         raise ValueError(
             f"width {width} is outside the single-buffer envelope: even "
             f"an 8-row band needs ~{est / 2**20:.1f} MiB of VMEM per "
-            f"kernel step (budget {VMEM_BUDGET // 2**20} MiB) — use the "
-            f"column-strip resident model (models/wide.make_wide_layout, "
+            f"kernel step (budget {VMEM_BUDGET / 2**20:.1f} MiB) — use "
+            f"the column-strip resident model (models/wide.make_wide_layout, "
             f"docs/DESIGN.md §1), which runs the same kernels at full "
             f"band on arbitrary widths")
     layout = PlanarLayout(height, width, channels, pad_y=halo, pad_x=halo,
