@@ -179,7 +179,7 @@ def make_layout(height: int, width: int, channels: int = 3,
     """Build the planar padded layout, enforcing the size envelope
     (docs/DESIGN.md §1): the requested `band` acts as a cap — it shrinks
     (in 8-row steps) until the windowed kernels' per-step VMEM working set
-    fits the 16 MiB budget, widening the supported width envelope at a
+    fits the measured VMEM budget, widening the supported width envelope at a
     per-op cost of more grid steps. Beyond help (no band fits, or the
     device buffer alone exceeds HBM_BUFFER_CAP) raises ValueError."""
     assert band % SUBLANE == 0 and 2 * halo <= DMA_SLACK
