@@ -5,11 +5,13 @@ single-buffer envelope through the column-strip resident model
 measure the chained-K exec marginal.
 
 Default point: 1024 x 65536 (the single-buffer envelope tops out near
-52.7k uint8 columns — make_layout refuses 65536). The strip plan at the
-default width is 12 strips of 5632 (+ a 3584 remainder), every strip at
-the full 112-row band: the same kernels the benchmark image runs, so
-per-pixel cost should match the in-envelope regime plus the seam
-refresh (4 lane-dim update-slices per seam per application).
+52.7k uint8 columns — make_layout refuses 65536). The default strip
+plan is 13 strips (12 x 5120 + a 4096 remainder), every strip at the
+full 112-row band AND at the measured conv-5x5 compiler pass point
+(Wp 5248 — models/wide.MEASURED_SAFE_STRIP_U8): the same kernels the
+benchmark image runs, so per-pixel cost should match the in-envelope
+regime plus the seam refresh (4 lane-dim update-slices per seam per
+application).
 """
 
 from __future__ import annotations

@@ -63,15 +63,28 @@ WIDE_COLS = ("Copy", "Inversion", "Grayscale", "Threshold") + tuple(
 WIDE_COLS = tuple(dict.fromkeys(WIDE_COLS))
 
 
+# Widest uint8 strip at a MEASURED compiler pass point: the 5x5 SWAR
+# convolution (the tightest op; it overrides to a 224-row band on band-112
+# layouts) compiled at Wp 5248 and was rejected at Wp 6016 on this
+# toolchain (envelope_probe r4 bisect) — the budget-admitted Wp 5760 sits
+# in the UNMEASURED gap, so the default strips stop at the pass point
+# (width 5120 -> Wp 5248) rather than gamble a fresh whole-slide run on
+# it. Costs ~10% more strips; re-probe on toolchain change.
+MEASURED_SAFE_STRIP_U8 = 5120
+
+
 def default_strip_width(halo: int = image_mod.DEFAULT_HALO,
                         itemsize: int = 1) -> int:
     """Widest LANE multiple whose strip layout keeps the full default
     band (112) under the measured VMEM budget, for this data model's
     device itemsize (1 = uint8, 4 = f32 — the f32 windows are 4x wider
-    in bytes, so its strips are narrower: ~3.9k vs ~5.6k)."""
+    in bytes, so its strips are narrower), capped at the measured
+    compiler pass point for uint8 (MEASURED_SAFE_STRIP_U8)."""
     sw = LANE
     while image_mod.fit_band(sw + LANE, halo=halo, itemsize=itemsize) == 112:
         sw += LANE
+    if itemsize == 1:
+        sw = min(sw, MEASURED_SAFE_STRIP_U8)
     return sw
 
 

@@ -34,7 +34,10 @@ def test_wide_default_strip_width_keeps_full_band():
     assert sw % LANE == 0
     from dip_benchmark_tpu.utils.image import fit_band
     assert fit_band(sw) == 112
-    assert fit_band(sw + LANE) < 112
+    # uint8 default stops at the MEASURED conv-5x5 compiler pass point
+    # (Wp 5248), below the budget-admitted top (which sits in the
+    # unmeasured pass/fail gap — module comment).
+    assert sw == wide.MEASURED_SAFE_STRIP_U8
 
 
 def test_wide_f32_plan_respects_f32_envelope():
