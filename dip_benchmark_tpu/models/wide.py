@@ -149,23 +149,31 @@ def make_wide_layout(height: int, width: int, channels: int = 3,
             f"{total / 2**30:.1f} GiB of resident strip buffers (cap "
             f"{image_mod.HBM_BUFFER_CAP // 2**30} GiB leaves room for "
             f"outputs/workspace in ~16 GiB HBM) — shard rows across "
-            f"devices (--shards) or process row blocks")
+            f"devices (--shards) or stream row blocks "
+            f"(models/wide.apply_streaming)")
     return WideLayout(height, width, channels, halo, sw, tuple(layouts),
                       itemsize)
 
 
-def to_wide_resident(image: np.ndarray, wl: WideLayout) -> list[np.ndarray]:
+def to_wide_resident(image: np.ndarray, wl: WideLayout,
+                     row0: int = 0) -> list[np.ndarray]:
     """uint8 HWC -> list of (C, Hp, Wp_i) strip buffers. Pads bake the
     GLOBAL mirror rule: interior seams hold true neighbor columns, outer
     edges the spec mirror — so the resident state is exact from the
-    first application."""
+    first application.
+
+    row0: for the streaming row-block path (apply_streaming), `image`
+    is the FULL image while the plan covers rows [row0, row0 +
+    wl.height) — row indices resolve against the full image, so
+    interior block edges bake true neighbor rows (not mirrors)."""
     h, w, c = image.shape
-    assert (h, w, c) == (wl.height, wl.width, wl.channels)
+    assert (w, c) == (wl.width, wl.channels) and row0 + wl.height <= h
     planar = np.transpose(image, (2, 0, 1))  # (C, H, W)
     strips = []
     for i, lo in enumerate(wl.layouts):
         hp = lo.padded_height
-        ys = np.clip(spec.mirror_index(np.arange(hp) - lo.pad_y, h), 0, h - 1)
+        ys = np.clip(spec.mirror_index(
+            row0 + np.arange(hp) - lo.pad_y, h), 0, h - 1)
         xs = np.clip(spec.mirror_index(
             wl.col0(i) + np.arange(lo.padded_width) - lo.pad_x, w), 0, w - 1)
         strips.append(np.ascontiguousarray(planar[:, ys[:, None], xs[None, :]]))
@@ -231,14 +239,14 @@ def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
     return out
 
 
-def _build_wide(wl: WideLayout, builder) -> dict:
+def _build_wide(wl: WideLayout, builder, refresh: bool = True) -> dict:
     per_layout: dict[PlanarLayout, dict] = {}
     for lo in wl.layouts:
         if lo not in per_layout:
             per_layout[lo] = builder(lo)
 
     def make(col):
-        needs_halo = col in WINDOWED_COLS
+        needs_halo = refresh and col in WINDOWED_COLS
 
         @jax.jit
         def op(strips):
@@ -306,6 +314,46 @@ def wide_chain(wl: WideLayout, cols: tuple[str, ...]):
 def put_wide(strips) -> list[jax.Array]:
     """Host strip list -> device-resident strip list."""
     return [jax.device_put(s) for s in strips]
+
+
+def apply_streaming(image: np.ndarray, col: str,
+                    block_rows: int = 2048,
+                    strip_width: int | None = None) -> np.ndarray:
+    """ONE application of a device op to an image of ANY size, streaming
+    row blocks through the strip model — the remedy the aggregate-HBM
+    ValueError names when even the strip plan exceeds resident memory.
+
+    Each block bakes its halo rows from the FULL image (true neighbor
+    rows at interior block edges, spec mirror at the top/bottom), so the
+    stitched result is bit-identical to the whole-image op. Blocks share
+    one plan (and therefore one compiled kernel set); a shorter last
+    block gets its own. Single application by design — for composed
+    applications keep the strips RESIDENT (build_wide_ops) instead of
+    re-streaming, or raise block_rows until the resident plan fits."""
+    assert col in WIDE_COLS, col
+    h, w, _ = image.shape
+    block_rows = min(block_rows, h)
+    plans: dict[int, tuple[WideLayout, dict]] = {}
+
+    def plan(hb: int):
+        if hb not in plans:
+            wl = make_wide_layout(hb, w, strip_width=strip_width)
+            # NO pre-refresh: the resident refresh re-mirrors row pads
+            # LOCALLY (correct when a strip spans the full image height),
+            # which would clobber a streaming block's baked TRUE-neighbor
+            # row halos. Freshly baked states are exact as-is for one
+            # application.
+            plans[hb] = (wl, _build_wide(wl, pallas_ops.build_ops,
+                                         refresh=False))
+        return plans[hb]
+
+    parts = []
+    for y0 in range(0, h, block_rows):
+        hb = min(block_rows, h - y0)
+        wl, ops = plan(hb)
+        strips = put_wide(to_wide_resident(image, wl, row0=y0))
+        parts.append(from_wide_resident(ops[col](strips), wl))
+    return np.concatenate(parts, axis=0)
 
 
 class WideBenchmarkSession:

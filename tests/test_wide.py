@@ -223,6 +223,25 @@ def test_cli_wide_fallback(tmp_path, monkeypatch, capsys):
     assert rc == 2
 
 
+@pytest.mark.parametrize("col", ["Inversion", "Erosion-3x3-Square",
+                                 "Convolution-5x5", "Fused-Pipeline"])
+def test_wide_streaming_row_blocks(col):
+    """apply_streaming: row blocks stitch bit-identically to the
+    whole-image op (interior block edges bake true neighbor rows)."""
+    img = _img(150, 300, seed=41)
+    got = wide.apply_streaming(img, col, block_rows=64, strip_width=LANE)
+    np.testing.assert_array_equal(got, oracle.IMAGE_OPS[col](img),
+                                  err_msg=col)
+
+
+def test_wide_streaming_single_block_degenerate():
+    img = _img(20, 280, seed=43)
+    got = wide.apply_streaming(img, "Gaussian-Blur-3x3", block_rows=512,
+                               strip_width=LANE)
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Gaussian-Blur-3x3"](img))
+
+
 def test_wide_matches_single_buffer_semantics():
     """A width INSIDE the envelope produces identical results through the
     wide model and the plain single-buffer path."""
