@@ -327,9 +327,11 @@ def apply_streaming(image: np.ndarray, col: str,
     rows at interior block edges, spec mirror at the top/bottom), so the
     stitched result is bit-identical to the whole-image op. Blocks share
     one plan (and therefore one compiled kernel set); a shorter last
-    block gets its own. Single application by design — for composed
-    applications keep the strips RESIDENT (build_wide_ops) instead of
-    re-streaming, or raise block_rows until the resident plan fits."""
+    block gets its own. Single application per call by design; composing
+    CALLS (out = apply_streaming(apply_streaming(img, c), c)) stays
+    bit-exact — each pass is exactly the whole-image op — at the price
+    of a host round-trip per pass, so for deep composition keep the
+    strips RESIDENT (build_wide_ops) when the plan fits HBM."""
     assert col in WIDE_COLS, col
     h, w, _ = image.shape
     block_rows = min(block_rows, h)
