@@ -150,28 +150,37 @@ def main(argv: list[str] | None = None) -> int:
 
     image, filename = args.infile
     needs_wide = False
-    if args.path == "pallas" and not args.shards:
+    if args.path == "pallas":
         from .utils.image import fit_band
         needs_wide = fit_band(
             image.shape[1],
             itemsize=4 if args.dtype == "float32" else 1) == 0
     if args.shards:
+        if needs_wide:
+            # Beyond-envelope width under --shards: the 2-D strips-per-
+            # shard model exists (parallel/wide.build_sharded_wide_ops —
+            # column strips per row shard, bit-exact, tests/
+            # test_sharded_wide.py) but has no benchmark-session surface;
+            # refuse explicitly rather than crash in make_layout.
+            print(f"width {image.shape[1]} exceeds the single-buffer "
+                  f"envelope; the --shards benchmark contract covers "
+                  f"envelope widths — drop --shards for the column-strip "
+                  f"session, or use the sharded-wide op API directly "
+                  f"(dip_benchmark_tpu.parallel.wide)", file=sys.stderr)
+            return 2
         from .parallel.session import ShardedBenchmarkSession
         session = ShardedBenchmarkSession(image, n_devices=args.shards,
                                           path=args.path, dtype=args.dtype)
     elif needs_wide:
         # Width past the single-buffer VMEM envelope: run the column-strip
         # resident model (models/wide.py) — same kernels, N strips, seam
-        # refresh per windowed application.
-        unsupported = [f for f, on in (("--warm", args.warm),
-                                       ("--chained", args.chained),
-                                       ("--fuse", args.fuse)) if on]
-        if unsupported:
-            print(f"{', '.join(unsupported)} not supported with the "
-                  f"beyond-envelope column-strip session", file=sys.stderr)
-            return 2
+        # refresh per windowed application. Full feature parity with the
+        # single-buffer session: --warm (aot.warm compiles the strip ops),
+        # --chained (the fori_loop carries the strip pytree), --fuse (one
+        # fused chain kernel per strip, wide_fused_chain).
         from .models.wide import WideBenchmarkSession
-        session = WideBenchmarkSession(image, dtype=args.dtype)
+        session = WideBenchmarkSession(image, dtype=args.dtype,
+                                       device=device)
         print(f"NOTE: width {image.shape[1]} exceeds the single-buffer "
               f"envelope; using the column-strip resident model "
               f"({session.wl.n_strips} strips of {session.wl.strip_width})",

@@ -210,16 +210,13 @@ def _refresh_rows(buf: jnp.ndarray, lo: PlanarLayout) -> jnp.ndarray:
     return lax.dynamic_update_slice(buf, bot, (0, py + h, 0))
 
 
-def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
-    """Re-establish every strip's halo pads from the current valid
-    pixels: row pads by the local mirror rule, column pads from the
-    NEIGHBOR strip's edge interior (outer edges: mirror). Purely
-    functional — all sources are valid-region slices of the inputs, so
-    there is no intra-refresh ordering hazard. After any op (windowed
-    ops shrink pad validity; point ops leave pads stale), one refresh
-    restores the exact resident invariant — applications therefore
-    compose bit-exactly at arbitrary depth (tests/test_wide.py)."""
-    rowed = [_refresh_rows(s, lo) for s, lo in zip(strips, wl.layouts)]
+def refresh_cols(rowed: list[jnp.ndarray], wl: WideLayout):
+    """The column half of the strip refresh: column pads from the
+    NEIGHBOR strip's edge interior (outer edges: local mirror), over
+    buffers whose ROW pads are already current ('rowed') so the copied
+    seam columns carry correct corners. Rank-agnostic over leading dims
+    (works on the (C, Hp, Wp_i) resident strips AND on the sharded-wide
+    model's per-shard local blocks, parallel/wide.py)."""
     px = wl.halo
     out = []
     for i, (s, lo) in enumerate(zip(rowed, wl.layouts)):
@@ -237,6 +234,19 @@ def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
                                             axis=-1)
         out.append(s)
     return out
+
+
+def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
+    """Re-establish every strip's halo pads from the current valid
+    pixels: row pads by the local mirror rule, column pads from the
+    NEIGHBOR strip's edge interior (outer edges: mirror). Purely
+    functional — all sources are valid-region slices of the inputs, so
+    there is no intra-refresh ordering hazard. After any op (windowed
+    ops shrink pad validity; point ops leave pads stale), one refresh
+    restores the exact resident invariant — applications therefore
+    compose bit-exactly at arbitrary depth (tests/test_wide.py)."""
+    return refresh_cols([_refresh_rows(s, lo)
+                         for s, lo in zip(strips, wl.layouts)], wl)
 
 
 def _build_wide(wl: WideLayout, builder, refresh: bool = True) -> dict:
@@ -311,9 +321,42 @@ def wide_chain(wl: WideLayout, cols: tuple[str, ...]):
     return chain
 
 
-def put_wide(strips) -> list[jax.Array]:
-    """Host strip list -> device-resident strip list."""
-    return [jax.device_put(s) for s in strips]
+def put_wide(strips, device: jax.Device | None = None) -> list[jax.Array]:
+    """Host strip list -> device-resident strip list (on `device`, or the
+    default device — the session passes its --backend-gated device)."""
+    return [jax.device_put(s, device) for s in strips]
+
+
+def wide_fused_chain(wl: WideLayout, cols: tuple[str, ...]):
+    """The --fuse row over the strip model: the WHOLE chain as ONE fused
+    Pallas kernel per strip (models/chain.make_fused_chain), with one
+    seam refresh per chain application — the wide analogue of
+    BenchmarkSession.chain_operation. Requires wl.halo >= the chain's
+    total radius: the fused kernel consumes radius-deep taps in one
+    application, and the refresh re-establishes halo-deep pads, so
+    applications compose bit-exactly at arbitrary depth like every wide
+    op (tests/test_wide.py). Both data models (wl.itemsize selects the
+    packed-16 uint8 or the f32 chain kernel)."""
+    from . import chain as chain_model
+    ry, rx = chain_model.check_chain(list(cols))
+    if max(ry, rx) > wl.halo:
+        raise ValueError(
+            f"chain radius (ry={ry}, rx={rx}) exceeds the strip halo "
+            f"({wl.halo}); build the plan with make_wide_layout(halo="
+            f"{max(ry, rx)})")
+    make = (chain_model.make_fused_chain_f32 if wl.itemsize == 4
+            else chain_model.make_fused_chain)
+    per_layout: dict[PlanarLayout, object] = {}
+    for lo in wl.layouts:
+        if lo not in per_layout:
+            per_layout[lo] = make(lo, list(cols))
+
+    @jax.jit
+    def chain(strips):
+        strips = refresh_wide(list(strips), wl)
+        return [per_layout[lo](s) for s, lo in zip(strips, wl.layouts)]
+
+    return chain
 
 
 def apply_streaming(image: np.ndarray, col: str,
@@ -367,11 +410,15 @@ class WideBenchmarkSession:
     Same 14-op contract as BenchmarkSession: Upload/Download move the
     data model's working payload (uint8 HWC bytes, or the f32 planar for
     --dtype float32), device ops run over the strip list, image dumps
-    and --verify reassemble via from_wide_resident. --exec works (the
-    chained-K marginal carries the strip pytree)."""
+    and --verify reassemble via from_wide_resident. Full knob parity
+    with the single-buffer session: --exec and --chained carry the strip
+    pytree through the fori_loop, --warm AOT-compiles the strip ops
+    (runtime/aot._table), --fuse runs one fused chain kernel per strip
+    (wide_fused_chain, round 5)."""
 
     def __init__(self, host_image: np.ndarray, dtype: str = "uint8",
-                 strip_width: int | None = None):
+                 strip_width: int | None = None,
+                 device: jax.Device | None = None):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
         if min(host_image.shape[:2]) < 5:
             raise ValueError("image must be at least 5x5")
@@ -380,6 +427,9 @@ class WideBenchmarkSession:
         self.host_image = np.ascontiguousarray(host_image)
         self.path = "pallas"
         self.dtype = dtype
+        self.device = device  # None = default (put_wide/device_put rule)
+        self._extra_oracles: dict = {}
+        self._chain_exec: tuple | None = None  # set by chain_operation
         h, w, c = host_image.shape
         self.wl = make_wide_layout(
             h, w, c, strip_width=strip_width,
@@ -393,16 +443,17 @@ class WideBenchmarkSession:
             self._mem_host = self.host_image
             strips = to_wide_resident(self.host_image, self.wl)
             self._ops = build_wide_ops(self.wl)
-        self.strips_dev = jax.block_until_ready(put_wide(strips))
+        self.strips_dev = jax.block_until_ready(put_wide(strips, device))
         self._mem_dev = jax.block_until_ready(
-            jax.device_put(self._mem_host))
+            jax.device_put(self._mem_host, device))
         self._sample = None
         self._chunked_dl = None  # lazy: Download's 'once' column
 
     # -- memory ops (same payload rule as BenchmarkSession) ----------------
 
     def _upload(self):
-        return jax.block_until_ready(jax.device_put(self._mem_host))
+        return jax.block_until_ready(
+            jax.device_put(self._mem_host, self.device))
 
     def _download(self):
         if self._chunked_dl is None:
@@ -412,7 +463,7 @@ class WideBenchmarkSession:
 
     def _download_prepare(self):
         np.asarray(jax.block_until_ready(
-            jax.device_put(np.zeros((8, 128), np.uint8))))
+            jax.device_put(np.zeros((8, 128), np.uint8), self.device)))
 
     # -- table -------------------------------------------------------------
 
@@ -456,6 +507,74 @@ class WideBenchmarkSession:
                 self._make_run(self._ops["Fused-Pipeline"]), self._fetch))
         return ops
 
+    def chained_operations(self, k: int, include_pipeline: bool = False):
+        """Measurement-only chained-K table over the strip model: each
+        timed round executes k in-graph applications of the op (the
+        fori_loop carries the strip LIST as its pytree state — wide ops
+        are shape-preserving lists->lists by construction). Same caveats
+        as BenchmarkSession.chained_operations (relay rigs measure
+        amortized submission; use --exec for completed work); no image
+        dumps."""
+        from jax import lax
+
+        from ..harness import Operation
+        ops = []
+        cols = [t for t in spec.OPERATION_MATRIX
+                if t[2] not in ("Upload", "Download")]
+        if include_pipeline:
+            cols.append((
+                "Fused Pipeline (Grayscale+Threshold+Erosion+Blur)", "",
+                "Fused-Pipeline"))
+        for desc, _prefix, col in cols:
+            fn = self._ops[col]
+            chained = jax.jit(
+                lambda s, fn=fn: lax.fori_loop(0, k, lambda i, v: fn(v), s))
+            ops.append(Operation(desc, "", col, self._make_run(chained),
+                                 self._no_image, time_scale=k))
+        return ops
+
+    def chain_operation(self, cols: list[str]):
+        """--fuse over the strip model: the whole chain fused into ONE
+        Pallas kernel per strip (wide_fused_chain). A chain whose total
+        radius exceeds the strip halo gets a deeper-halo strip plan +
+        re-bake here (untimed session state, mirroring
+        BenchmarkSession.chain_operation)."""
+        from ..harness import Operation
+        from . import chain as chain_model
+        ry, rx = chain_model.check_chain(cols)
+        r = max(ry, rx)
+        f32 = self.dtype == "float32"
+        if r <= self.wl.halo:
+            wl, strips = self.wl, self.strips_dev
+        else:
+            wl = make_wide_layout(self.wl.height, self.wl.width,
+                                  self.wl.channels, halo=r,
+                                  strip_width=self.wl.strip_width,
+                                  itemsize=4 if f32 else 1)
+            host = (to_wide_resident_f32(self.host_image, wl) if f32
+                    else to_wide_resident(self.host_image, wl))
+            strips = jax.block_until_ready(put_wide(host, self.device))
+        fn = wide_fused_chain(wl, tuple(cols))
+        # expose to execution_table (chains are shape-preserving lists)
+        self._chain_exec = (fn, strips)
+
+        def run():
+            self._sample = jax.block_until_ready(fn(strips))
+
+        if f32:
+            def fetch():
+                from .. import oracle_f32
+                return oracle_f32.to_uint8_hwc(
+                    from_wide_resident_f32(self._sample, wl))
+        else:
+            def fetch():
+                return from_wide_resident(self._sample, wl)
+
+        desc, col, seq_oracle = chain_model.chain_row_parts(
+            cols, dtype=self.dtype)
+        self._extra_oracles[col] = seq_oracle
+        return Operation(desc, "chain", col, run, fetch)
+
     def execution_table(self, include_pipeline: bool = False,
                         k1: int = 30, k2: int = 300, samples: int = 5,
                         auto_scale: bool = False):
@@ -467,10 +586,16 @@ class WideBenchmarkSession:
                 if c not in ("Upload", "Download")]
         if include_pipeline:
             cols.append("Fused-Pipeline")
-        return [(c, execution_time(self._ops[c], self.strips_dev,
+        rows = [(c, execution_time(self._ops[c], self.strips_dev,
                                    k1=k1, k2=k2, samples=samples,
                                    auto_scale=auto_scale))
                 for c in cols]
+        if self._chain_exec is not None:
+            fn, strips = self._chain_exec
+            rows.append(("Fused-Chain", execution_time(
+                fn, strips, k1=k1, k2=k2, samples=samples,
+                auto_scale=auto_scale)))
+        return rows
 
     @property
     def verify_atol(self) -> int:
@@ -484,6 +609,11 @@ class WideBenchmarkSession:
                 fn = oracle_f32.IMAGE_OPS_F32[col]
                 return lambda im: oracle_f32.to_uint8_hwc(
                     fn(oracle_f32.from_uint8_hwc(im)))
-            return {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
-        from .. import native, oracle
-        return native.image_ops() if native.available() else oracle.IMAGE_OPS
+            base = {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+        else:
+            from .. import native, oracle
+            base = (native.image_ops() if native.available()
+                    else oracle.IMAGE_OPS)
+        if self._extra_oracles:  # chain rows' sequential oracles
+            base = {**base, **self._extra_oracles}
+        return base

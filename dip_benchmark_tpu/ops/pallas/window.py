@@ -490,14 +490,16 @@ def make_convolution(layout: PlanarLayout, kh: int, kw: int, shift: int,
     uv = factor_rank1_int(int_mask) if packed else None
     if packed and kh * kw == 25:
         # Measured band sweep (kernel_lab10): the 5x5 bodies keep enough
-        # live temps that a LARGER band amortizes better (198 -> ~176 us).
-        # On the default 112-band layout banded_height=3584 divides by 224
-        # but not 336, so the effective 5x5 band is 224; whole layouts
-        # built at band=336 measure the same (lab10: 177-178 us) — the win
-        # is "bigger than 112", not the specific 336. 3x3-class bodies are
-        # flat in band, erosion slightly prefers 112.
-        band = next((b for b in (336, 224, 168) if b % 8 == 0
-                     and layout.banded_height % b == 0), layout.band)
+        # live temps that a LARGER band amortizes better (198 -> ~176 us);
+        # layouts at effective band 224 and 336 measure the same (lab10:
+        # 177-178 us) — the win is "bigger than 112", not the specific
+        # 336. 3x3-class bodies are flat in band, erosion slightly
+        # prefers 112. The pick lives in utils/image.conv5_effective_band
+        # (shared with the VMEM envelope model) and is capped by the
+        # measured VMEM budget: the divisibility depends on image height,
+        # so an uncapped upsize could exceed the envelope make_layout
+        # guaranteed at layout.band (round-5 advisor finding).
+        band = image_mod.conv5_effective_band(layout, itemsize=1)
     elif kh * kw <= 9 or (packed and kh * kw <= 25):
         band = layout.band  # packed halves temp heights: full band fits
     else:

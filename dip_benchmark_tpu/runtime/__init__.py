@@ -1,5 +1,6 @@
 from .device import (  # noqa: F401
     DeviceGateError,
+    DeviceGateTimeout,
     backend_name,
     default_device,
     describe_device,

@@ -19,13 +19,24 @@ import jax
 
 
 def _table(session):
-    """(ops_dict, device_src) for either session flavor: the single-device
+    """(ops_dict, device_src) for any session flavor: the single-device
     BenchmarkSession keeps its jitted ops in `_ops_impl` with the input from
     `_device_input()`; the ShardedBenchmarkSession keeps its shard_map
-    programs in `_ops` operating on the resident `planar_dev` buffer."""
+    programs in `_ops` operating on the resident `planar_dev` buffer; the
+    WideBenchmarkSession keeps its strip-list ops in `_ops` over the
+    resident `strips_dev` list (the ops take the list as ONE pytree
+    argument, so lower/compile/export apply unchanged)."""
     if hasattr(session, "_ops_impl"):
         return session._ops_impl, session._device_input()
-    return session._ops, session.planar_dev
+    if hasattr(session, "_ops"):
+        if hasattr(session, "planar_dev"):
+            return session._ops, session.planar_dev
+        if hasattr(session, "strips_dev"):
+            return session._ops, session.strips_dev
+    raise TypeError(
+        f"unsupported session type for AOT warm/export: "
+        f"{type(session).__name__} (want BenchmarkSession, "
+        f"ShardedBenchmarkSession, or WideBenchmarkSession)")
 
 
 def warm(session) -> dict:
@@ -50,11 +61,15 @@ def export_ops(session, outdir: str) -> list[str]:
 
     os.makedirs(outdir, exist_ok=True)
     ops, src = _table(session)
-    if hasattr(src, "sharding") and getattr(src.sharding, "mesh", None):
-        spec = jax.ShapeDtypeStruct(src.shape, src.dtype,
-                                    sharding=src.sharding)
-    else:
-        spec = jax.ShapeDtypeStruct(src.shape, src.dtype)
+
+    def _leaf_spec(x):
+        if hasattr(x, "sharding") and getattr(x.sharding, "mesh", None):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    # src may be one array or a pytree (the wide session's strip list).
+    spec = jax.tree.map(_leaf_spec, src)
     written = []
     for col, fn in ops.items():
         exported = jax_export.export(fn)(spec)

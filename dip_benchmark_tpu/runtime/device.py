@@ -32,8 +32,33 @@ except ValueError:  # e.g. "8m" — plain seconds expected
     GATE_TIMEOUT_S = 480.0
 
 
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        import sys as _sys
+        print(f"warning: ignoring malformed {name} "
+              f"{os.environ[name]!r} (want an integer); using {default}",
+              file=_sys.stderr)
+        return default
+
+
+# Bounded retries of a TIMED-OUT backend discovery before giving up
+# (round-4 lesson: a transient tunnel hiccup nulled the round's bench —
+# one retry window is often enough for a recovering relay, because the
+# retry's jax.devices() call joins the first attempt's still-initializing
+# PJRT call and returns as soon as it completes). Only the timeout flavor
+# retries; a definitive "no such backend" answer is stable in-process.
+GATE_RETRIES = _env_int("DIP_TPU_GATE_RETRIES", 1)
+
+
 class DeviceGateError(RuntimeError):
     """No suitable accelerator available."""
+
+
+class DeviceGateTimeout(DeviceGateError):
+    """Backend initialization exceeded the gate deadline (possibly
+    transient: relay tunnels hiccup on a minutes scale)."""
 
 
 def backend_name() -> str:
@@ -63,7 +88,7 @@ def _call_with_deadline(fn, timeout_s: float, what: str):
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        raise DeviceGateError(
+        raise DeviceGateTimeout(
             f"{what} did not complete within {timeout_s:.0f}s — the "
             f"accelerator runtime appears hung (on relay rigs this means "
             f"the TPU tunnel is down). Pass --backend cpu to run on host, "
@@ -74,12 +99,34 @@ def _call_with_deadline(fn, timeout_s: float, what: str):
 
 
 def require_device(backend: str = "tpu",
-                   timeout_s: float | None = None) -> jax.Device:
+                   timeout_s: float | None = None,
+                   retries: int | None = None) -> jax.Device:
     """Fail fast (like the reference gates) if the requested backend is
-    absent OR its initialization hangs past the deadline.
+    absent OR its initialization hangs past the deadline. A TIMED-OUT
+    discovery is retried up to `retries` times (default GATE_RETRIES /
+    $DIP_TPU_GATE_RETRIES) — transient tunnel hiccups recover on a
+    minutes scale, and the retry returns as soon as the first attempt's
+    in-flight PJRT initialization completes.
 
     backend: "tpu" (default), "cpu", or "any".
     """
+    if retries is None:
+        retries = GATE_RETRIES
+    last: DeviceGateTimeout | None = None
+    for attempt in range(max(0, retries) + 1):
+        if attempt:
+            import sys as _sys
+            print(f"device gate: {last} — retrying "
+                  f"({attempt}/{retries})", file=_sys.stderr)
+        try:
+            return _require_device_once(backend, timeout_s)
+        except DeviceGateTimeout as e:
+            last = e
+    raise last
+
+
+def _require_device_once(backend: str,
+                         timeout_s: float | None = None) -> jax.Device:
     if timeout_s is None:
         timeout_s = GATE_TIMEOUT_S
     if backend == "any":

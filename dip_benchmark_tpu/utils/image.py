@@ -162,6 +162,43 @@ def windowed_vmem_bytes(layout: PlanarLayout, itemsize: int = 1) -> int:
     return window + out + temps
 
 
+# The packed 5x5 convolution's preferred EFFECTIVE bands (largest first):
+# its unrolled body amortizes better at a band LARGER than the default 112
+# (ops/pallas/window.py, kernel_lab10: 198 -> ~176 us), so it overrides the
+# layout band to the first of these that divides banded_height.
+CONV5_EFFECTIVE_BANDS = (336, 224, 168)
+
+
+def conv5_effective_band(layout: PlanarLayout, itemsize: int = 1) -> int:
+    """The band the packed 5x5 convolution ACTUALLY runs at on this layout
+    — the one place deciding the override for both the kernel
+    (ops/pallas/window.make_convolution) and the VMEM envelope model.
+
+    The override depends on banded_height divisibility, i.e. on image
+    HEIGHT — e.g. the benchmark image (2336x3504, banded 2352 = 7*336)
+    takes 336 while a 1024-row layout (banded 1120) takes 224 — so a
+    candidate is accepted only if its modeled working set ALSO fits the
+    VMEM budget; otherwise make_layout's fit (computed at layout.band)
+    could admit near-boundary widths whose 5x5 the Mosaic compiler then
+    rejects at 1.5x the modeled temps. The model maps an effective band B
+    to windowed_vmem_bytes at band B/2: packing halves temp heights, so
+    the round-4 calibration anchor (layout band 112 -> effective 224,
+    measured pass at Wp 5248 / rejection at Wp 6272) is EXACTLY the
+    existing formula at band 112 — candidate 224 keeps the measured
+    boundary, and the other candidates scale linearly in B with the same
+    window/out/temps composition. Falls back to layout.band (which
+    make_layout already guaranteed fits)."""
+    for b in CONV5_EFFECTIVE_BANDS:
+        if layout.banded_height % b:
+            continue
+        probe = PlanarLayout(layout.height, layout.width, layout.channels,
+                             pad_y=layout.pad_y, pad_x=layout.pad_x,
+                             band=b // 2)
+        if windowed_vmem_bytes(probe, itemsize) <= VMEM_BUDGET:
+            return b
+    return layout.band
+
+
 def fit_band(width: int, halo: int = DEFAULT_HALO, itemsize: int = 1,
              cap: int = 112) -> int:
     """Largest 8-row band <= cap whose windowed working set fits VMEM at

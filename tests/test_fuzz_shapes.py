@@ -83,6 +83,74 @@ def test_envelope_width_beyond_any_band_rejected():
         make_layout(256, 200_000)
 
 
+def test_conv5_effective_band_budget_cap():
+    """Round-5 advisor (medium): the packed conv-5x5 upsizes its band by
+    banded_height divisibility, i.e. by image HEIGHT — so the pick must
+    be budget-capped or near-boundary widths admitted by fit_band (which
+    models layout.band) would hand Mosaic an over-budget 336-band body."""
+    from dip_benchmark_tpu.utils import image as im
+    # hardware-validated picks unchanged: benchmark image (banded 2352 =
+    # 7*336) keeps 336; the 1024-row calibration anchor keeps 224
+    assert im.conv5_effective_band(make_layout(2336, 3504)) == 336
+    assert im.conv5_effective_band(make_layout(1024, 3504)) == 224
+    # near-boundary width at a 336-divisible banded height: capped (the
+    # uncapped 336 pick models ~20 MiB against the 14.9 MiB budget)
+    lo = make_layout(2330, 5120)           # banded 2352, Wp 5248
+    eff = im.conv5_effective_band(lo)
+    assert eff != 336
+    probe = im.PlanarLayout(lo.height, lo.width, lo.channels,
+                            pad_y=lo.pad_y, pad_x=lo.pad_x, band=eff // 2)
+    assert im.windowed_vmem_bytes(probe, 1) <= im.VMEM_BUDGET
+    # every accepted pick divides banded_height (the grid invariant)
+    assert lo.banded_height % eff == 0
+
+
+def test_conv5_band_override_capped_kernel_exact(monkeypatch):
+    """The kernel honors the budget-capped pick and stays bit-exact: with
+    the budget squeezed so 336 is rejected at this width, conv-5x5 runs
+    at the capped band and still matches the oracle."""
+    import jax
+
+    from dip_benchmark_tpu.ops import pallas
+    from dip_benchmark_tpu.utils import image as im
+    from dip_benchmark_tpu.utils.image import to_planar_padded
+    img = np.random.default_rng(97).integers(
+        0, 256, size=(330, 300, 3), dtype=np.uint8)
+    layout = make_layout(330, 300)         # banded 336 (divisible by 336)
+    assert im.conv5_effective_band(layout) == 336  # normal budget: upsize
+    monkeypatch.setattr(im, "VMEM_BUDGET", 2**20)  # squeeze: 336 over, 168 ok
+    assert im.conv5_effective_band(layout) == 168
+    ops = pallas.build_ops(layout)
+    crops = pallas.build_crops(layout)
+    got = crops["Convolution-5x5"](
+        ops["Convolution-5x5"](jax.device_put(
+            to_planar_padded(img, layout))))
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Convolution-5x5"](img))
+
+
+def test_conv5_band_336_kernel_exact():
+    """The 336 upsize itself (the benchmark image's pick) is exercised in
+    interpret mode: a 336-divisible banded height runs the packed 5x5 at
+    band 336 and matches the oracle bit-exactly."""
+    import jax
+
+    from dip_benchmark_tpu.ops import pallas
+    from dip_benchmark_tpu.utils.image import to_planar_padded
+    img = np.random.default_rng(101).integers(
+        0, 256, size=(330, 140, 3), dtype=np.uint8)
+    layout = make_layout(330, 140)
+    from dip_benchmark_tpu.utils import image as im
+    assert im.conv5_effective_band(layout) == 336
+    ops = pallas.build_ops(layout)
+    crops = pallas.build_crops(layout)
+    got = crops["Convolution-5x5"](
+        ops["Convolution-5x5"](jax.device_put(
+            to_planar_padded(img, layout))))
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Convolution-5x5"](img))
+
+
 def test_envelope_hbm_buffer_cap_rejected():
     with pytest.raises(ValueError, match="HBM|GiB"):
         make_layout(60_000, 30_000)

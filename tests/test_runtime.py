@@ -53,6 +53,43 @@ def test_gate_hung_backend_init_times_out():
             RuntimeError("boom")), 5.0, "x")
 
 
+def test_gate_retry_recovers_transient_timeout(monkeypatch, capsys):
+    """Round-5 VERDICT #5: a TIMED-OUT backend discovery retries (bounded,
+    DIP_TPU_GATE_RETRIES) before nulling a bench — a recovering relay
+    tunnel often answers within the retry window."""
+    from dip_benchmark_tpu.runtime import device as device_mod
+
+    calls = {"n": 0}
+
+    def flaky(backend="cpu", timeout_s=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise device_mod.DeviceGateTimeout("tunnel hiccup — test")
+        return "DEVICE"
+
+    monkeypatch.setattr(device_mod, "_require_device_once", flaky)
+    assert device_mod.require_device("cpu", retries=1) == "DEVICE"
+    assert calls["n"] == 2
+    assert "retrying" in capsys.readouterr().err
+
+    # exhausted retries re-raise the timeout flavor
+    calls["n"] = 0
+    with pytest.raises(device_mod.DeviceGateTimeout):
+        device_mod.require_device("cpu", retries=0)
+    assert calls["n"] == 1
+
+    # a definitive "no such backend" answer does NOT retry
+    def absent(backend="tpu", timeout_s=None):
+        calls["n"] += 1
+        raise DeviceGateError("No TPU backend available — test")
+
+    calls["n"] = 0
+    monkeypatch.setattr(device_mod, "_require_device_once", absent)
+    with pytest.raises(DeviceGateError):
+        device_mod.require_device("tpu", retries=3)
+    assert calls["n"] == 1
+
+
 def test_check_chain_validation():
     from dip_benchmark_tpu.models.chain import check_chain
     assert check_chain(["Convolution-5x5", "Convolution-3x3"]) == (3, 3)

@@ -1,0 +1,135 @@
+"""Wide x sharded composition (parallel/wide.py): beyond-envelope widths
+row-sharded across the virtual mesh — column strips per row shard, row
+halos over ICI + column seams local, bit-exact vs the NumPy oracle.
+
+Strip widths are forced tiny (LANE) so a small image exercises multiple
+strips AND multiple row shards at once, in Pallas interpret mode on CPU.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dip_benchmark_tpu import oracle
+from dip_benchmark_tpu.parallel import make_mesh
+from dip_benchmark_tpu.parallel import wide as swide
+from dip_benchmark_tpu.utils.image import LANE
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _img(h, w, seed=3):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_sharded_wide_round_trip(devices_ok):
+    img = _img(32, 300, seed=5)
+    mesh = make_mesh(n_space=4)
+    wl = swide.make_sharded_wide_plan(32, 300, 4, strip_width=LANE)
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident(img, wl, 4), mesh)
+    assert all(s.sharding.spec == jax.sharding.PartitionSpec(
+        None, "space", None) for s in strips)
+    np.testing.assert_array_equal(
+        swide.from_sharded_wide_resident(strips, wl, 4), img)
+
+
+def test_sharded_wide_plan_validation():
+    with pytest.raises(ValueError, match="divide height"):
+        swide.make_sharded_wide_plan(30, 300, 4, strip_width=LANE)
+    with pytest.raises(ValueError, match="too small"):
+        swide.make_sharded_wide_plan(8, 300, 4, strip_width=LANE)
+
+
+@pytest.mark.parametrize("col", [
+    "Inversion", "Grayscale", "Copy",
+    "Erosion-3x3-Cross", "Erosion-1x3+3x1-Square",
+    "Convolution-3x3", "Convolution-5x5", "Convolution-1x5+5x1",
+    "Gaussian-Blur-3x3", "Fused-Pipeline"])
+def test_sharded_wide_ops_bit_exact(devices_ok, col):
+    """3 strips x 4 row shards: interior + edge seams on BOTH axes."""
+    img = _img(32, 300, seed=11)
+    mesh = make_mesh(n_space=4)
+    ops, wl = swide.build_sharded_wide_ops(mesh, 32, 300,
+                                           strip_width=LANE)
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident(img, wl, 4), mesh)
+    got = swide.from_sharded_wide_resident(ops[col](strips), wl, 4)
+    np.testing.assert_array_equal(got, oracle.IMAGE_OPS[col](img),
+                                  err_msg=col)
+
+
+@pytest.mark.parametrize("col,k", [("Erosion-3x3-Square", 4),
+                                   ("Convolution-5x5", 3)])
+def test_sharded_wide_composition_arbitrary_depth(devices_ok, col, k):
+    """The resident contract on BOTH axes at once: repeated applications
+    stay bit-exact far past the pad budget (row halos re-ppermute, column
+    seams re-copy, every application)."""
+    img = _img(24, 280, seed=13)
+    mesh = make_mesh(n_space=4)
+    ops, wl = swide.build_sharded_wide_ops(mesh, 24, 280, strip_width=LANE)
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident(img, wl, 4), mesh)
+    want = img
+    for _ in range(k):
+        strips = ops[col](strips)
+        want = oracle.IMAGE_OPS[col](want)
+    np.testing.assert_array_equal(
+        swide.from_sharded_wide_resident(strips, wl, 4), want)
+
+
+def test_sharded_wide_mixed_chain_composes(devices_ok):
+    """Point and windowed ops interleave through the resident state."""
+    img = _img(16, 280, seed=17)
+    mesh = make_mesh(n_space=2)
+    ops, wl = swide.build_sharded_wide_ops(mesh, 16, 280, axis="space",
+                                           strip_width=LANE)
+    cols = ["Inversion", "Erosion-3x3-Cross", "Threshold",
+            "Gaussian-Blur-3x3"]
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident(img, wl, 2), mesh)
+    want = img
+    for c in cols:
+        strips = ops[c](strips)
+        want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(
+        swide.from_sharded_wide_resident(strips, wl, 2), want)
+
+
+def test_sharded_wide_f32(devices_ok):
+    from dip_benchmark_tpu import oracle_f32
+    img = _img(16, 280, seed=19)
+    mesh = make_mesh(n_space=4)
+    ops, wl = swide.build_sharded_wide_ops(mesh, 16, 280, dtype="float32",
+                                           strip_width=LANE)
+    assert wl.itemsize == 4
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident_f32(img, wl, 4), mesh)
+    got = swide.from_sharded_wide_resident_f32(
+        ops["Gaussian-Blur-3x3"](strips), wl, 4)
+    want = oracle_f32.IMAGE_OPS_F32["Gaussian-Blur-3x3"](
+        oracle_f32.from_uint8_hwc(img))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-7)
+
+
+def test_sharded_wide_matches_unsharded_wide(devices_ok):
+    """n=1 sharded-wide == the plain wide model (degenerate composition)."""
+    from dip_benchmark_tpu.models import wide as wide_mod
+    img = _img(16, 280, seed=23)
+    mesh = make_mesh(n_space=1)
+    ops, wl = swide.build_sharded_wide_ops(mesh, 16, 280, strip_width=LANE)
+    strips = swide.put_sharded_wide(
+        swide.to_sharded_wide_resident(img, wl, 1), mesh)
+    got = swide.from_sharded_wide_resident(
+        ops["Convolution-5x5"](strips), wl, 1)
+
+    uwl = wide_mod.make_wide_layout(16, 280, strip_width=LANE)
+    ustrips = wide_mod.put_wide(wide_mod.to_wide_resident(img, uwl))
+    want = wide_mod.from_wide_resident(
+        wide_mod.build_wide_ops(uwl)["Convolution-5x5"](ustrips), uwl)
+    np.testing.assert_array_equal(got, want)

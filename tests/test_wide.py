@@ -217,10 +217,22 @@ def test_cli_wide_fallback(tmp_path, monkeypatch, capsys):
                    "--backend", "cpu", "--verify"])
     assert rc == 0
     assert "column-strip resident model" in capsys.readouterr().err
-    # unsupported combos refuse loudly instead of crashing
+    # full knob parity (round-5 VERDICT #3): --warm, --fuse (verified
+    # against the chain's sequential oracle), and --chained all run on
+    # the column-strip session
     rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
-                   "--backend", "cpu", "--warm"])
+                   "--backend", "cpu", "--warm", "--verify",
+                   "--fuse", "Grayscale,Threshold,Erosion-3x3-Square"])
+    assert rc == 0
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--chained", "2"])
+    assert rc == 0
+    # --shards + beyond-envelope width refuses EXPLICITLY, naming the
+    # sharded-wide API (no silent crash in make_layout)
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--shards", "2"])
     assert rc == 2
+    assert "parallel.wide" in capsys.readouterr().err
 
 
 @pytest.mark.parametrize("col", ["Inversion", "Erosion-3x3-Square",
@@ -240,6 +252,137 @@ def test_wide_streaming_single_block_degenerate():
                                strip_width=LANE)
     np.testing.assert_array_equal(
         got, oracle.IMAGE_OPS["Gaussian-Blur-3x3"](img))
+
+
+def test_wide_session_warm_and_export(tmp_path):
+    """--warm on the strip model (round-5 VERDICT #3): aot.warm
+    AOT-compiles the strip-list ops, and StableHLO export round-trips
+    (the pytree arg spec is the strip list)."""
+    import jax
+
+    from dip_benchmark_tpu.runtime import aot
+    img = _img(18, 290, seed=47)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    compiled = aot.warm(s)
+    assert set(compiled) == set(s._ops)
+    got = wide.from_wide_resident(
+        jax.block_until_ready(compiled["Inversion"](s.strips_dev)), s.wl)
+    np.testing.assert_array_equal(got, oracle.IMAGE_OPS["Inversion"](img))
+    written = aot.export_ops(s, str(tmp_path))
+    assert len(written) == len(s._ops)
+    fn = aot.load_exported(str(tmp_path / "Threshold.stablehlo"))
+    got = wide.from_wide_resident(fn(s.strips_dev), s.wl)
+    np.testing.assert_array_equal(got, oracle.IMAGE_OPS["Threshold"](img))
+
+
+def test_aot_table_rejects_unknown_session():
+    from dip_benchmark_tpu.runtime import aot
+
+    class Bogus:
+        pass
+
+    with pytest.raises(TypeError, match="WideBenchmarkSession"):
+        aot.warm(Bogus())
+
+
+def test_wide_chained_operations():
+    """--chained on the strip model: the fori_loop carries the strip
+    pytree; k in-graph applications compose exactly (checked against the
+    k-fold oracle through the session's resident sample)."""
+    img = _img(16, 280, seed=53)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    table = s.chained_operations(3, include_pipeline=True)
+    assert [op.csv_column for op in table][-1] == "Fused-Pipeline"
+    row = next(op for op in table if op.csv_column == "Erosion-3x3-Square")
+    assert row.time_scale == 3
+    row.run()
+    want = img
+    for _ in range(3):
+        want = oracle.IMAGE_OPS["Erosion-3x3-Square"](want)
+    np.testing.assert_array_equal(
+        wide.from_wide_resident(s._sample, s.wl), want)
+
+
+def test_wide_chain_operation_within_halo():
+    """--fuse on the strip model, radius <= strip halo: ONE fused kernel
+    per strip on the session's own resident strips, bit-exact vs the
+    sequential oracle."""
+    img = _img(21, 300, seed=59)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Square"]
+    op = s.chain_operation(cols)
+    op.run()
+    want = img
+    for c in cols:
+        want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(op.fetch(), want)
+    assert op.csv_column in s.oracle_ops()  # verify path wired
+    # the chain row joins the exec table
+    rows = s.execution_table(k1=1, k2=2, samples=1)
+    assert rows[-1][0] == "Fused-Chain"
+
+
+def test_wide_chain_operation_deep_halo():
+    """--fuse with a chain radius past the strip halo: a deeper-halo
+    strip plan is rebuilt (same strip width -> multiple strips, so the
+    deep seams are exercised), still bit-exact vs sequential."""
+    img = _img(20, 300, seed=61)
+    s = wide.WideBenchmarkSession(img, strip_width=LANE)
+    cols = ["Convolution-5x5", "Convolution-3x3"]  # ry = rx = 3 > halo 2
+    op = s.chain_operation(cols)
+    op.run()
+    want = img
+    for c in cols:
+        want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(op.fetch(), want)
+
+
+def test_wide_chain_operation_f32():
+    from dip_benchmark_tpu import oracle_f32
+    img = _img(18, 290, seed=67)
+    s = wide.WideBenchmarkSession(img, dtype="float32", strip_width=LANE)
+    cols = ["Grayscale", "Gaussian-Blur-3x3"]
+    op = s.chain_operation(cols)
+    op.run()
+    x = oracle_f32.from_uint8_hwc(img)
+    for c in cols:
+        x = oracle_f32.IMAGE_OPS_F32[c](x)
+    want = oracle_f32.to_uint8_hwc(x)
+    np.testing.assert_allclose(op.fetch().astype(np.int32),
+                               want.astype(np.int32), atol=1)
+
+
+def test_wide_fused_chain_composes():
+    """The resident contract holds for fused chains too: repeated chain
+    applications (refresh + one fused kernel per strip) stay bit-exact."""
+    img = _img(16, 280, seed=71)
+    wl = wide.make_wide_layout(16, 280, strip_width=LANE)
+    cols = ("Inversion", "Erosion-3x3-Cross")
+    fn = wide.wide_fused_chain(wl, cols)
+    strips = wide.put_wide(wide.to_wide_resident(img, wl))
+    want = img
+    for _ in range(3):
+        strips = fn(strips)
+        for c in cols:
+            want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(wide.from_wide_resident(strips, wl), want)
+
+
+def test_wide_fused_chain_halo_bound_error():
+    wl = wide.make_wide_layout(16, 280, strip_width=LANE)  # halo 2
+    with pytest.raises(ValueError, match="strip halo"):
+        wide.wide_fused_chain(wl, ("Convolution-5x5", "Convolution-3x3"))
+
+
+def test_wide_session_honors_device():
+    """Advisor r4: the wide session must place its buffers on the
+    resolved --backend device, like BenchmarkSession."""
+    import jax
+    dev = jax.devices("cpu")[0]
+    s = wide.WideBenchmarkSession(_img(8, 280), strip_width=LANE,
+                                  device=dev)
+    assert all(x.devices() == {dev} for x in s.strips_dev)
+    assert s._upload().devices() == {dev}
 
 
 def test_wide_matches_single_buffer_semantics():
