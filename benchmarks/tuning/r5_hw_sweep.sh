@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-5 hardware sweep: everything the round needs from ONE TPU window,
+# ordered cheapest-first so a window that dies mid-way still yields the
+# highest-priority artifacts (VERDICT r4 #1/#2). Run from the repo root:
+#
+#   bash benchmarks/tuning/r5_hw_sweep.sh
+#
+# Steps (sequential — never two TPU processes):
+#   1. envelope_probe (default widths 5888/7168/16384, H=1024): confirms
+#      the recalibrated 5888@band-104 point (VERDICT #2).
+#   2. envelope_probe at HEIGHT=2330 (banded 2352 = 7*336): the
+#      336-divisible re-anchor the round-5 advisor asked for — conv-5x5
+#      runs its band upsize CAPPED by the budget at width 5120 and
+#      uncapped (336) at width 3504.
+#   3. wide_probe (1024x65536): the wide-model hardware anchor.
+#   4. wide_validate_r5: wide session at 2330x56320 (capped conv band at
+#      whole-slide size) + wide_fused_chain + sharded-wide on the 1-mesh.
+#   5. CLI full contract --verify on BOTH paths + sharded + f32 + exec.
+#   6. fresh bench.py (the BENCH_r05 dry run; the driver re-runs it).
+set -u
+cd "$(dirname "$0")/../.."
+ART=docs/artifacts
+mkdir -p "$ART"
+IMG=${DIP_TPU_IMAGE:-/root/reference/assets/fundus.jpg}
+[ -f "$IMG" ] || IMG=""   # testimage fallback inside the tools
+
+run() {  # run <timeout_s> <logname> <cmd...>
+  local t=$1 log=$2; shift 2
+  echo "=== $log: $* (timeout ${t}s) ==="
+  timeout "$t" "$@" 2>&1 | tee "$ART/$log"
+  local rc=${PIPESTATUS[0]}
+  echo "=== $log rc=$rc ==="
+  return 0
+}
+
+run 2400 envelope_probe_r5.txt python benchmarks/tuning/envelope_probe.py
+run 2400 envelope_probe_r5_h2330.txt \
+  env HEIGHT=2330 WIDTHS=3504,5120 python benchmarks/tuning/envelope_probe.py
+run 3000 wide_probe_r5.txt python benchmarks/tuning/wide_probe.py
+run 3000 wide_validate_r5.txt python benchmarks/tuning/wide_validate_r5.py
+
+if [ -n "$IMG" ]; then
+  run 2400 cli_verify_pallas_r5.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5 --rounds 50 --verify --pipeline --exec \
+    --fuse "Grayscale,Threshold,Erosion-3x3-Square" --mem-rounds 3
+  run 2400 cli_verify_xla_r5.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5x --rounds 50 --path xla --verify --mem-rounds 3
+  run 2400 cli_verify_sharded_r5.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5s --rounds 20 --shards 1 --path pallas --verify \
+    --mem-rounds 3
+  run 2400 cli_verify_f32_r5.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5f --rounds 20 --dtype float32 --verify --mem-rounds 3
+fi
+
+run 2500 bench_r5_dry.txt python bench.py
+echo "=== sweep complete; artifacts in $ART ==="
