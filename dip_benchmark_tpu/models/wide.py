@@ -361,7 +361,8 @@ def wide_fused_chain(wl: WideLayout, cols: tuple[str, ...]):
 
 def apply_streaming(image: np.ndarray, col: str,
                     block_rows: int = 2048,
-                    strip_width: int | None = None) -> np.ndarray:
+                    strip_width: int | None = None,
+                    dtype: str = "uint8") -> np.ndarray:
     """ONE application of a device op to an image of ANY size, streaming
     row blocks through the strip model — the remedy the aggregate-HBM
     ValueError names when even the strip plan exceeds resident memory.
@@ -374,31 +375,46 @@ def apply_streaming(image: np.ndarray, col: str,
     CALLS (out = apply_streaming(apply_streaming(img, c), c)) stays
     bit-exact — each pass is exactly the whole-image op — at the price
     of a host round-trip per pass, so for deep composition keep the
-    strips RESIDENT (build_wide_ops) when the plan fits HBM."""
+    strips RESIDENT (build_wide_ops) when the plan fits HBM.
+
+    dtype "uint8" (primary, uint8 HWC in/out) or "float32" (the CUDA.jl-
+    parity model: uint8 HWC in, f32 [0,1] (C, H, W) planar out — the f32
+    model's native shape, like from_wide_resident_f32)."""
     assert col in WIDE_COLS, col
+    if dtype not in ("uint8", "float32"):
+        raise ValueError(f"Unknown dtype: {dtype!r}")
+    f32 = dtype == "float32"
     h, w, _ = image.shape
     block_rows = min(block_rows, h)
     plans: dict[int, tuple[WideLayout, dict]] = {}
 
     def plan(hb: int):
         if hb not in plans:
-            wl = make_wide_layout(hb, w, strip_width=strip_width)
+            wl = make_wide_layout(hb, w, strip_width=strip_width,
+                                  itemsize=4 if f32 else 1)
             # NO pre-refresh: the resident refresh re-mirrors row pads
             # LOCALLY (correct when a strip spans the full image height),
             # which would clobber a streaming block's baked TRUE-neighbor
             # row halos. Freshly baked states are exact as-is for one
             # application.
-            plans[hb] = (wl, _build_wide(wl, pallas_ops.build_ops,
-                                         refresh=False))
+            plans[hb] = (wl, _build_wide(
+                wl, pallas_ops.build_f32_ops if f32 else pallas_ops.build_ops,
+                refresh=False))
         return plans[hb]
 
     parts = []
     for y0 in range(0, h, block_rows):
         hb = min(block_rows, h - y0)
         wl, ops = plan(hb)
-        strips = put_wide(to_wide_resident(image, wl, row0=y0))
-        parts.append(from_wide_resident(ops[col](strips), wl))
-    return np.concatenate(parts, axis=0)
+        if f32:
+            strips = put_wide([
+                s.astype(np.float32) / np.float32(255)
+                for s in to_wide_resident(image, wl, row0=y0)])
+            parts.append(from_wide_resident_f32(ops[col](strips), wl))
+        else:
+            strips = put_wide(to_wide_resident(image, wl, row0=y0))
+            parts.append(from_wide_resident(ops[col](strips), wl))
+    return np.concatenate(parts, axis=1 if f32 else 0)
 
 
 class WideBenchmarkSession:

@@ -246,6 +246,19 @@ def test_wide_streaming_row_blocks(col):
                                   err_msg=col)
 
 
+def test_wide_streaming_f32():
+    """apply_streaming on the f32 model: stitched blocks match the f32
+    oracle (erosion: selection, exact even across block seams)."""
+    from dip_benchmark_tpu import oracle_f32
+    img = _img(100, 290, seed=73)
+    got = wide.apply_streaming(img, "Erosion-3x3-Square", block_rows=48,
+                               strip_width=LANE, dtype="float32")
+    want = oracle_f32.IMAGE_OPS_F32["Erosion-3x3-Square"](
+        oracle_f32.from_uint8_hwc(img))
+    assert got.dtype == np.float32 and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
 def test_wide_streaming_single_block_degenerate():
     img = _img(20, 280, seed=43)
     got = wide.apply_streaming(img, "Gaussian-Blur-3x3", block_rows=512,
