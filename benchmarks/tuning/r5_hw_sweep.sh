@@ -18,7 +18,7 @@
 #   5. CLI full contract --verify on BOTH paths + sharded + f32 + exec.
 #   6. fresh bench.py (the BENCH_r05 dry run; the driver re-runs it).
 set -u
-cd "$(dirname "$0")/../.."
+cd "$(dirname "$0")/../.." || exit 1
 ART=docs/artifacts
 mkdir -p "$ART"
 IMG=${DIP_TPU_IMAGE:-/root/reference/assets/fundus.jpg}

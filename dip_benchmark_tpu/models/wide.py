@@ -126,6 +126,14 @@ def make_wide_layout(height: int, width: int, channels: int = 3,
     strip (the seam refresh reads `halo` valid columns from each side,
     so every strip must carry at least that many; the merged width stays
     within the same lane-padded Wp, hence the same band)."""
+    if min(height, width) < halo + 1:
+        # The refresh's flip-based mirrors (and spec.mirror_index
+        # itself) are only defined for offsets <= dim-1; deep-halo
+        # plans on smaller images would silently corrupt halos.
+        raise ValueError(
+            f"{height}x{width} is too small for a halo-{halo} strip "
+            f"plan (the halo refresh mirrors rows/cols 1..{halo}; need "
+            f"both dims >= {halo + 1})")
     sw = (strip_width if strip_width is not None
           else default_strip_width(halo, itemsize))
     sw = max(LANE, sw // LANE * LANE)
@@ -289,11 +297,13 @@ def build_wide_ops_f32(wl: WideLayout) -> dict:
     return _build_wide(wl, pallas_ops.build_f32_ops)
 
 
-def to_wide_resident_f32(image: np.ndarray, wl: WideLayout):
+def to_wide_resident_f32(image: np.ndarray, wl: WideLayout,
+                         row0: int = 0):
     """uint8 HWC -> f32 [0,1] strip buffers (exact: u8/255 commutes with
-    the mirror/seam indexing)."""
+    the mirror/seam indexing). row0: streaming row-block offset, as in
+    to_wide_resident."""
     return [s.astype(np.float32) / np.float32(255)
-            for s in to_wide_resident(image, wl)]
+            for s in to_wide_resident(image, wl, row0=row0)]
 
 
 def from_wide_resident_f32(strips, wl: WideLayout) -> np.ndarray:
@@ -407,9 +417,7 @@ def apply_streaming(image: np.ndarray, col: str,
         hb = min(block_rows, h - y0)
         wl, ops = plan(hb)
         if f32:
-            strips = put_wide([
-                s.astype(np.float32) / np.float32(255)
-                for s in to_wide_resident(image, wl, row0=y0)])
+            strips = put_wide(to_wide_resident_f32(image, wl, row0=y0))
             parts.append(from_wide_resident_f32(ops[col](strips), wl))
         else:
             strips = put_wide(to_wide_resident(image, wl, row0=y0))

@@ -327,6 +327,15 @@ class BenchmarkSession:
             layout, planar = self.layout, self.planar_dev
         else:
             h, w, c = self.host_image.shape
+            if min(h, w) < r + 1:
+                # spec.mirror_index (and the fused-vs-sequential mirror
+                # induction) is only defined for offsets <= dim-1; a
+                # deeper-halo bake on a shorter image would silently
+                # diverge from the sequential oracle.
+                raise ValueError(
+                    f"image {h}x{w} is too small for a radius-{r} fused "
+                    f"chain (mirror halo needs both dims >= {r + 1}); "
+                    f"shorten the chain or run the ops sequentially")
             layout = image_util.make_layout(h, w, c, halo=r,
                                             itemsize=4 if f32 else 1)
             planar = _sync(jax.device_put(

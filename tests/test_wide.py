@@ -387,6 +387,23 @@ def test_wide_fused_chain_halo_bound_error():
         wide.wide_fused_chain(wl, ("Convolution-5x5", "Convolution-3x3"))
 
 
+def test_deep_halo_too_small_image_refused():
+    """Round-5 review: deep-halo plans on images shorter than the halo
+    would silently corrupt the flip-based mirror refresh — both the wide
+    plan and the single-buffer chain path refuse with a clear error."""
+    with pytest.raises(ValueError, match="too small"):
+        wide.make_wide_layout(6, 300, halo=6, strip_width=LANE)
+    # the wide session's deep chain goes through the same guard
+    s = wide.WideBenchmarkSession(_img(6, 300, seed=79), strip_width=LANE)
+    with pytest.raises(ValueError, match="too small"):
+        s.chain_operation(["Convolution-5x5"] * 3)  # r = 6 > height-1
+    # single-buffer session, same bound
+    from dip_benchmark_tpu.session import BenchmarkSession
+    bs = BenchmarkSession(_img(6, 300, seed=83), path="pallas")
+    with pytest.raises(ValueError, match="too small"):
+        bs.chain_operation(["Convolution-5x5"] * 3)
+
+
 def test_wide_session_honors_device():
     """Advisor r4: the wide session must place its buffers on the
     resolved --backend device, like BenchmarkSession."""
