@@ -33,6 +33,7 @@ run() {  # run <timeout_s> <logname> <cmd...>
   return 0
 }
 
+run 1200 i16_probe_r5.txt python benchmarks/tuning/i16_probe.py
 run 2400 envelope_probe_r5.txt python benchmarks/tuning/envelope_probe.py
 run 2400 envelope_probe_r5_h2330.txt \
   env HEIGHT=2330 WIDTHS=3504,5120 python benchmarks/tuning/envelope_probe.py
