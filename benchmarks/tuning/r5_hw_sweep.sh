@@ -54,4 +54,44 @@ if [ -n "$IMG" ]; then
 fi
 
 run 2500 bench_r5_dry.txt python bench.py
+
+# 7-8. Publication runs (VERDICT r4 #6): the reference's full 10,000-round
+# contract on BOTH paths, updating assets/results.csv's TPU rows in place
+# (write_csv replaces the row for --tool). Same commands as the round-3
+# published rows (RESULTS_ROUND3 §7-8).
+if [ -n "$IMG" ]; then
+  run 3600 run10k_r5_stdout.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5pub --rounds 10000 --mem-rounds 30 --verify \
+    --pipeline --csv assets/results.csv --tool TPU
+  run 3600 run10k_r5_xla_stdout.txt python benchmarks/tpu/benchmark.py \
+    "$IMG" /tmp/out_r5pubx --rounds 10000 --mem-rounds 30 --path xla \
+    --verify --csv assets/results.csv --tool TPU-XLA
+  cp assets/results.csv "$ART/results_10k_r5.csv"   # audit snapshot
+fi
+
+# 9. Regenerate every published PNG from the updated CSV + the fresh bench
+# JSON (exec chart needs per-op exec_us: last JSON line of bench_r5_dry.txt).
+python - <<'EOF'
+import json, re
+lines = open("docs/artifacts/bench_r5_dry.txt").read().splitlines()
+js = [ln for ln in lines if ln.startswith("{")]
+ok = False
+for ln in reversed(js):
+    try:
+        d = json.loads(ln)
+    except Exception:
+        continue
+    if d.get("value") is not None and "ops" in d:
+        open("/tmp/bench_r5.json", "w").write(ln)
+        ok = True
+        break
+print("bench json extracted" if ok else "no usable bench json (skip exec chart)")
+EOF
+if [ -f /tmp/bench_r5.json ]; then
+  run 600 plots_r5.txt python -m dip_benchmark_tpu.utils.plots \
+    assets/results.csv assets --exec-json /tmp/bench_r5.json
+else
+  run 600 plots_r5.txt python -m dip_benchmark_tpu.utils.plots \
+    assets/results.csv assets
+fi
 echo "=== sweep complete; artifacts in $ART ==="
