@@ -110,6 +110,14 @@ def main() -> int:
     print(f"  sharded-wide Convolution-5x5: first call "
           f"{time.perf_counter() - t0:.1f}s (compile)", flush=True)
     t_sw = _exec_marginal(sops["Convolution-5x5"], sstrips)
+    # ... and the fused strip-per-shard chain (the round-5 session's
+    # --fuse surface) through the real Mosaic compiler
+    schain = swide.sharded_wide_chain(mesh, swl, CHAIN)
+    t0 = time.perf_counter()
+    scout = jax.block_until_ready(schain(sstrips))
+    print(f"  sharded-wide chain {'+'.join(CHAIN)}: first call "
+          f"{time.perf_counter() - t0:.1f}s (compile)", flush=True)
+    t_sc = _exec_marginal(schain, sstrips)
 
     # ---- all timing done; now the bulk D2H bit-checks -------------------
     for col, te, out in exec_rows:
@@ -128,6 +136,13 @@ def main() -> int:
         swide.from_sharded_wide_resident(sout, swl, 1),
         ops_oracle["Convolution-5x5"](image))
     print(f"  sharded-wide conv-5x5: exec {t_sw * 1e6:9.1f} us/app  "
+          f"bit-check {'OK' if ok else 'MISMATCH'}", flush=True)
+    want = image
+    for c in CHAIN:
+        want = ops_oracle[c](want)
+    ok = np.array_equal(
+        swide.from_sharded_wide_resident(scout, swl, 1), want)
+    print(f"  sharded-wide chain: exec {t_sc * 1e6:9.1f} us/app  "
           f"bit-check {'OK' if ok else 'MISMATCH'}", flush=True)
     return 0
 

@@ -85,7 +85,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--shards", type=int, default=0, metavar="N",
                         help="Run the op matrix row-sharded across N devices "
                              "(shard_map + ppermute halo exchange); "
-                             "0 = single device")
+                             "0 = single device. Beyond-envelope widths "
+                             "route to the 2-D sharded-wide model (column "
+                             "strips per row shard, parallel/wide.py)")
     parser.add_argument("--warm", action="store_true",
                         help="AOT-compile all ops before timing (serving "
                              "mode: the 'once' column then shows warm "
@@ -158,19 +160,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.shards:
         if needs_wide:
             # Beyond-envelope width under --shards: the 2-D strips-per-
-            # shard model exists (parallel/wide.build_sharded_wide_ops —
-            # column strips per row shard, bit-exact, tests/
-            # test_sharded_wide.py) but has no benchmark-session surface;
-            # refuse explicitly rather than crash in make_layout.
-            print(f"width {image.shape[1]} exceeds the single-buffer "
-                  f"envelope; the --shards benchmark contract covers "
-                  f"envelope widths — drop --shards for the column-strip "
-                  f"session, or use the sharded-wide op API directly "
-                  f"(dip_benchmark_tpu.parallel.wide)", file=sys.stderr)
-            return 2
-        from .parallel.session import ShardedBenchmarkSession
-        session = ShardedBenchmarkSession(image, n_devices=args.shards,
-                                          path=args.path, dtype=args.dtype)
+            # shard session (parallel/wide.py — column strips per row
+            # shard, row halos over ICI + column seams local, bit-exact,
+            # tests/test_sharded_wide.py).
+            from .parallel.wide import ShardedWideBenchmarkSession
+            session = ShardedWideBenchmarkSession(
+                image, n_devices=args.shards, dtype=args.dtype)
+            print(f"NOTE: width {image.shape[1]} exceeds the "
+                  f"single-buffer envelope; using the sharded-wide model "
+                  f"({session.wl.n_strips} strips of "
+                  f"{session.wl.strip_width} per row shard, "
+                  f"{args.shards} shards)", file=sys.stderr)
+        else:
+            from .parallel.session import ShardedBenchmarkSession
+            session = ShardedBenchmarkSession(
+                image, n_devices=args.shards, path=args.path,
+                dtype=args.dtype)
     elif needs_wide:
         # Width past the single-buffer VMEM envelope: run the column-strip
         # resident model (models/wide.py) — same kernels, N strips, seam

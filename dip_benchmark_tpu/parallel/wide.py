@@ -180,3 +180,191 @@ def build_sharded_wide_ops(mesh: Mesh, height: int, width: int,
             check_vma=False))
 
     return {col: lift(col) for col in wide_mod.WIDE_COLS}, wl
+
+
+def sharded_wide_chain(mesh: Mesh, wl: WideLayout, cols: tuple[str, ...],
+                       axis: str = "space"):
+    """The --fuse row over the sharded-wide model: the whole chain as ONE
+    fused Pallas kernel per strip per shard, with one rows-then-columns
+    seam refresh per chain application. Requires wl.halo >= the chain's
+    total radius (the fused kernel consumes radius-deep taps in one
+    application; build the plan with make_sharded_wide_plan(halo=r)) —
+    then applications compose bit-exactly at arbitrary depth by the same
+    two-axis induction as build_sharded_wide_ops' windowed lift."""
+    from ..models import chain as chain_model
+
+    ry, rx = chain_model.check_chain(list(cols))
+    if max(ry, rx) > wl.halo:
+        raise ValueError(
+            f"chain radius (ry={ry}, rx={rx}) exceeds the strip halo "
+            f"({wl.halo}); build the plan with make_sharded_wide_plan("
+            f"halo={max(ry, rx)})")
+    make = (chain_model.make_fused_chain_f32 if wl.itemsize == 4
+            else chain_model.make_fused_chain)
+    per_layout: dict = {}
+    for lo in wl.layouts:
+        if lo not in per_layout:
+            per_layout[lo] = make(lo, list(cols))
+    h_loc = wl.height
+
+    def body(strips):
+        strips = [refresh_resident_halo(s, lo.pad_y, h_loc, axis)
+                  for s, lo in zip(strips, wl.layouts)]
+        strips = wide_mod.refresh_cols(list(strips), wl)
+        return [per_layout[lo](s) for s, lo in zip(strips, wl.layouts)]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None), check_vma=False))
+
+
+class ShardedWideBenchmarkSession(wide_mod.WideBenchmarkSession):
+    """The benchmark op table over the sharded-wide model: beyond-envelope
+    widths under --shards (cli.py routes here when both apply). Same 14-op
+    contract as every other session: Upload scatters the f32/uint8 planar
+    payload over the mesh rows, device ops run the strips-per-shard
+    shard_map programs (row halos over ICI, column seams local), Download
+    gathers; --verify reassembles via from_sharded_wide_resident. Knob
+    parity follows from the shared surfaces: --warm (aot._table sees
+    _ops + strips_dev like the wide session), --chained / --exec (the
+    fori_loop carries the strip pytree through the shard_map programs),
+    --fuse (sharded_wide_chain, re-planned at the chain's halo when its
+    radius exceeds the default).
+
+    Heights that don't divide the shard count get high-side mirror rows
+    (pad >= 2 so windowed taps past the valid edge read true mirror
+    values — the ShardedBenchmarkSession rule), cropped on fetch.
+
+    [reference: no counterpart — the 2-D spatial-scaling seam SURVEY.md
+    §5 leaves to the framework, now a full benchmark surface.]
+    """
+
+    def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
+                 mesh: Mesh | None = None, dtype: str = "uint8",
+                 strip_width: int | None = None):
+        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        if dtype not in ("uint8", "float32"):
+            raise ValueError(f"Unknown dtype: {dtype!r}")
+        from jax.sharding import NamedSharding
+
+        from .halo import make_mesh
+        self.host_image = np.ascontiguousarray(host_image)
+        self.path = "pallas"
+        self.dtype = dtype
+        self.device = None  # scratch transfers use the default device
+        self._extra_oracles: dict = {}
+        self._chain_exec: tuple | None = None
+        self._sample = None
+        self._chunked_dl = None
+        self.mesh = mesh or make_mesh(n_space=n_devices
+                                      or len(jax.devices()))
+        n = self.n_shards = self.mesh.shape["space"]
+        h, w, c = host_image.shape
+        self.valid_height = h
+        # High-side mirror rows so H divides n; pad >= 2 keeps windowed
+        # taps up to 2 rows past the valid region bit-exact (the padded
+        # rows hold TRUE mirror values; outputs are cropped on fetch).
+        pad = (-h) % n
+        if pad == 1:
+            pad += n
+        img = host_image
+        if pad:
+            img = np.concatenate([img, img[h - pad:][::-1]], axis=0)
+        self.sharding = NamedSharding(self.mesh, P(None, "space", None))
+        self._ops, self.wl = build_sharded_wide_ops(
+            self.mesh, img.shape[0], w, channels=c, dtype=dtype,
+            strip_width=strip_width)
+        planar = np.ascontiguousarray(np.transpose(img, (2, 0, 1)))
+        if dtype == "float32":
+            self._mem_host = planar.astype(np.float32) / np.float32(255)
+            strips = to_sharded_wide_resident_f32(img, self.wl, n)
+        else:
+            self._mem_host = planar
+            strips = to_sharded_wide_resident(img, self.wl, n)
+        self.strips_dev = jax.block_until_ready(
+            put_sharded_wide(strips, self.mesh))
+        self._mem_dev = jax.block_until_ready(
+            jax.device_put(self._mem_host, self.sharding))
+
+    # -- memory ops over the mesh (scatter / gather payloads) --------------
+
+    def _upload(self):
+        return jax.block_until_ready(
+            jax.device_put(self._mem_host, self.sharding))
+
+    def _download(self):
+        if self._chunked_dl is None:
+            from ..runtime.transfer import make_chunked_download
+            self._chunked_dl = make_chunked_download(self._mem_dev, axis=1)
+        return self._chunked_dl()
+
+    def _download_prepare(self):
+        np.asarray(jax.block_until_ready(jax.device_put(
+            np.zeros((1, self.n_shards, 128), np.uint8), self.sharding)))
+
+    # -- fetch / chain over the sharded-wide buffers ------------------------
+
+    def _fetch(self) -> np.ndarray:
+        if self.dtype == "float32":
+            from .. import oracle_f32
+            arr = from_sharded_wide_resident_f32(
+                self._sample, self.wl, self.n_shards)
+            return oracle_f32.to_uint8_hwc(arr[:, :self.valid_height])
+        return np.ascontiguousarray(from_sharded_wide_resident(
+            self._sample, self.wl, self.n_shards)[:self.valid_height])
+
+    def chain_operation(self, cols: list[str]):
+        """--fuse over the sharded-wide model (sharded_wide_chain). A
+        chain whose total radius exceeds the session halo gets a
+        deeper-halo plan + re-bake as untimed session state — with the
+        row padding re-grown so baked mirror rows cover the radius (the
+        ShardedBenchmarkSession.chain_operation rule)."""
+        from ..harness import Operation
+        from ..models import chain as chain_model
+        ry, rx = chain_model.check_chain(cols)
+        r, n = max(ry, rx), self.n_shards
+        f32 = self.dtype == "float32"
+        if r <= self.wl.halo:
+            # session halo is DEFAULT_HALO=2 and the constructor's pad>=2
+            # rule covers mirror taps to that depth — reuse the residents
+            wl, strips = self.wl, self.strips_dev
+        else:
+            h = self.valid_height
+            need = max(r, 2)
+            pad = (-h) % n
+            while (0 < pad < need) or (h + pad) // n < need + 1:
+                pad += n
+            if pad > h:
+                raise ValueError(
+                    f"image of {h} rows is too small for a chain needing "
+                    f"{need}-row halos (ry={ry}, rx={rx}) over {n} shards")
+            img = (self.host_image if pad == 0 else np.concatenate(
+                [self.host_image, self.host_image[h - pad:][::-1]], axis=0))
+            wl = make_sharded_wide_plan(
+                img.shape[0], self.wl.width, n, channels=self.wl.channels,
+                halo=r, strip_width=self.wl.strip_width,
+                itemsize=4 if f32 else 1)
+            host = (to_sharded_wide_resident_f32(img, wl, n) if f32
+                    else to_sharded_wide_resident(img, wl, n))
+            strips = jax.block_until_ready(
+                put_sharded_wide(host, self.mesh))
+        fn = sharded_wide_chain(self.mesh, wl, tuple(cols))
+        self._chain_exec = (fn, strips)  # exposed to execution_table
+
+        def run():
+            self._sample = jax.block_until_ready(fn(strips))
+
+        if f32:
+            def fetch():
+                from .. import oracle_f32
+                arr = from_sharded_wide_resident_f32(self._sample, wl, n)
+                return oracle_f32.to_uint8_hwc(arr[:, :self.valid_height])
+        else:
+            def fetch():
+                return np.ascontiguousarray(from_sharded_wide_resident(
+                    self._sample, wl, n)[:self.valid_height])
+
+        desc, col, seq_oracle = chain_model.chain_row_parts(
+            cols, dtype=self.dtype)
+        self._extra_oracles[col] = seq_oracle
+        return Operation(desc, "chain", col, run, fetch)

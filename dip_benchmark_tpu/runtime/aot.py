@@ -36,7 +36,8 @@ def _table(session):
     raise TypeError(
         f"unsupported session type for AOT warm/export: "
         f"{type(session).__name__} (want BenchmarkSession, "
-        f"ShardedBenchmarkSession, or WideBenchmarkSession)")
+        f"ShardedBenchmarkSession, WideBenchmarkSession, or "
+        f"ShardedWideBenchmarkSession)")
 
 
 def warm(session) -> dict:

@@ -133,3 +133,105 @@ def test_sharded_wide_matches_unsharded_wide(devices_ok):
     want = wide_mod.from_wide_resident(
         wide_mod.build_wide_ops(uwl)["Convolution-5x5"](ustrips), uwl)
     np.testing.assert_array_equal(got, want)
+
+
+# -- the benchmark-session surface (ShardedWideBenchmarkSession) ------------
+
+
+def test_sharded_wide_session_end_to_end(devices_ok, tmp_path):
+    """The full 14-op contract (+ pipeline) over the sharded-wide model:
+    height 30 over 4 shards exercises the mirror row padding (pad 2),
+    every row verifies bit-exact vs the oracle through the runner."""
+    from dip_benchmark_tpu.harness import BenchmarkRunner
+    from dip_benchmark_tpu.parallel.wide import ShardedWideBenchmarkSession
+    img = _img(30, 300, seed=31)
+    s = ShardedWideBenchmarkSession(img, n_devices=4, strip_width=LANE)
+    assert s.wl.n_strips >= 2 and s.valid_height == 30
+    runner = BenchmarkRunner(s.operations(include_pipeline=True), rounds=2)
+    results = runner.run(filename="sw.png", outdir=str(tmp_path),
+                         verify_against=img, verify_ops=s.oracle_ops(),
+                         verify_atol=s.verify_atol, quiet=True)
+    assert len(results) == 15
+    assert (tmp_path / "inversion-sw.png").exists()
+
+
+def test_sharded_wide_session_f32(devices_ok, tmp_path):
+    from dip_benchmark_tpu.harness import BenchmarkRunner
+    from dip_benchmark_tpu.parallel.wide import ShardedWideBenchmarkSession
+    img = _img(28, 290, seed=37)
+    s = ShardedWideBenchmarkSession(img, n_devices=4, dtype="float32",
+                                    strip_width=LANE)
+    runner = BenchmarkRunner(s.operations(), rounds=1)
+    results = runner.run(filename="sw.png", outdir=str(tmp_path),
+                         verify_against=img, verify_ops=s.oracle_ops(),
+                         verify_atol=s.verify_atol, quiet=True)
+    assert len(results) == 14
+
+
+def test_sharded_wide_session_chain_within_halo(devices_ok):
+    """--fuse, radius <= halo: one fused kernel per strip per shard on
+    the session's own residents, bit-exact vs the sequential oracle."""
+    from dip_benchmark_tpu.parallel.wide import ShardedWideBenchmarkSession
+    img = _img(32, 300, seed=41)
+    s = ShardedWideBenchmarkSession(img, n_devices=4, strip_width=LANE)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Square"]
+    op = s.chain_operation(cols)
+    op.run()
+    want = img
+    for c in cols:
+        want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(op.fetch(), want)
+    assert op.csv_column in s.oracle_ops()  # verify path wired
+    rows = s.execution_table(k1=1, k2=2, samples=1)
+    assert rows[-1][0] == "Fused-Chain"
+
+
+def test_sharded_wide_session_chain_deep_halo(devices_ok):
+    """--fuse past the session halo: deeper-halo plan + re-bake, with the
+    row padding re-grown to cover the chain radius (30 rows over 4
+    shards: pad 2 -> radius 4 forces pad 6)."""
+    from dip_benchmark_tpu.parallel.wide import ShardedWideBenchmarkSession
+    img = _img(30, 300, seed=43)
+    s = ShardedWideBenchmarkSession(img, n_devices=4, strip_width=LANE)
+    cols = ["Convolution-5x5", "Convolution-3x3"]  # ry = rx = 3 > halo 2
+    op = s.chain_operation(cols)
+    op.run()
+    want = img
+    for c in cols:
+        want = oracle.IMAGE_OPS[c](want)
+    np.testing.assert_array_equal(op.fetch(), want)
+
+
+def test_sharded_wide_session_warm_and_chained(devices_ok):
+    """aot.warm admits the session (_ops + strips_dev) and the chained-K
+    table carries the strip pytree through the shard_map programs."""
+    from dip_benchmark_tpu.parallel.wide import ShardedWideBenchmarkSession
+    from dip_benchmark_tpu.runtime.aot import warm
+    img = _img(16, 280, seed=47)
+    s = ShardedWideBenchmarkSession(img, n_devices=2, strip_width=LANE)
+    compiled = warm(s)
+    assert "Convolution-5x5" in compiled
+    ops = s.chained_operations(2)
+    row = next(o for o in ops if o.csv_column == "Erosion-3x3-Square")
+    assert row.time_scale == 2
+    row.run()  # two in-graph applications execute
+
+
+def test_cli_sharded_wide_route(devices_ok, tmp_path, monkeypatch, capsys):
+    """--shards + beyond-envelope width routes to the sharded-wide
+    session (round-5: was an explicit refusal) and runs green."""
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.utils import image as image_mod
+    from dip_benchmark_tpu.utils.image import save_image
+    orig = image_mod.fit_band
+
+    def fake(width, halo=image_mod.DEFAULT_HALO, itemsize=1, cap=112):
+        return 0 if width > 200 else orig(width, halo, itemsize, cap)
+    monkeypatch.setattr(image_mod, "fit_band", fake)
+    img = _img(24, 300, seed=53)
+    path = tmp_path / "wide.png"
+    save_image(str(path), img)
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--shards", "2", "--verify"])
+    assert rc == 0
+    assert "sharded-wide model" in capsys.readouterr().err

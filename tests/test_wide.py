@@ -227,12 +227,12 @@ def test_cli_wide_fallback(tmp_path, monkeypatch, capsys):
     rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
                    "--backend", "cpu", "--chained", "2"])
     assert rc == 0
-    # --shards + beyond-envelope width refuses EXPLICITLY, naming the
-    # sharded-wide API (no silent crash in make_layout)
+    # --shards + beyond-envelope width routes to the sharded-wide
+    # session (tests/test_sharded_wide.py covers that surface in depth)
     rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
                    "--backend", "cpu", "--shards", "2"])
-    assert rc == 2
-    assert "parallel.wide" in capsys.readouterr().err
+    assert rc == 0
+    assert "sharded-wide model" in capsys.readouterr().err
 
 
 @pytest.mark.parametrize("col", ["Inversion", "Erosion-3x3-Square",
