@@ -1,22 +1,29 @@
 #!/bin/bash
 # Round-5 hardware sweep: everything the round needs from ONE TPU window,
-# ordered cheapest-first so a window that dies mid-way still yields the
-# highest-priority artifacts (VERDICT r4 #1/#2). Run from the repo root:
+# ordered by JUDGE PRIORITY (VERDICT r4 #1 before #2) so a window that
+# dies mid-way still yields the highest-priority artifacts. Run from the
+# repo root:
 #
 #   bash benchmarks/tuning/r5_hw_sweep.sh
 #
 # Steps (sequential — never two TPU processes):
-#   1. envelope_probe (default widths 5888/7168/16384, H=1024): confirms
+#   1. i16_probe: quick toolchain-drift check (minutes).
+#   2. fresh bench.py — the BENCH_r05 dry run (pooled-median + exec
+#      table), VERDICT #1's first half; also warms the kernel cache for
+#      everything after it.
+#   3. CLI full contract --verify on BOTH paths + sharded + f32 + exec
+#      (VERDICT #1's second half: bit-exactness on hardware).
+#   4. envelope_probe (default widths 5888/7168/16384, H=1024): confirms
 #      the recalibrated 5888@band-104 point (VERDICT #2).
-#   2. envelope_probe at HEIGHT=2330 (banded 2352 = 7*336): the
+#   5. envelope_probe at HEIGHT=2330 (banded 2352 = 7*336): the
 #      336-divisible re-anchor the round-5 advisor asked for — conv-5x5
 #      runs its band upsize CAPPED by the budget at width 5120 and
 #      uncapped (336) at width 3504.
-#   3. wide_probe (1024x65536): the wide-model hardware anchor.
-#   4. wide_validate_r5: wide session at 2330x56320 (capped conv band at
+#   6. wide_probe (1024x65536): the wide-model hardware anchor.
+#   7. wide_validate_r5: wide session at 2330x56320 (capped conv band at
 #      whole-slide size) + wide_fused_chain + sharded-wide on the 1-mesh.
-#   5. CLI full contract --verify on BOTH paths + sharded + f32 + exec.
-#   6. fresh bench.py (the BENCH_r05 dry run; the driver re-runs it).
+#   8-9. 10,000-round publication runs on both paths (results.csv rows).
+#   10. chart regeneration from the updated CSV + fresh bench JSON.
 set -u
 cd "$(dirname "$0")/../.." || exit 1
 ART=docs/artifacts
@@ -24,21 +31,30 @@ mkdir -p "$ART"
 IMG=${DIP_TPU_IMAGE:-/root/reference/assets/fundus.jpg}
 [ -f "$IMG" ] || IMG=""   # testimage fallback inside the tools
 
+# Steps are RESUMABLE: each records its exit code in $ART/<log>.rc and is
+# skipped on re-invocation once it has completed rc=0, so a sweep cut off
+# by a mid-window tunnel death can simply be re-run (the watcher does this
+# automatically) and picks up where it left off.
 run() {  # run <timeout_s> <logname> <cmd...>
   local t=$1 log=$2; shift 2
+  local rcfile="$ART/$log.rc"
+  if [ -f "$rcfile" ] && [ "$(cat "$rcfile")" = "0" ]; then
+    echo "=== $log: already done rc=0, skipping ==="
+    return 0
+  fi
   echo "=== $log: $* (timeout ${t}s) ==="
   timeout "$t" "$@" 2>&1 | tee "$ART/$log"
   local rc=${PIPESTATUS[0]}
+  echo "$rc" > "$rcfile"
   echo "=== $log rc=$rc ==="
   return 0
 }
 
+# Chart regeneration must re-run whenever the CSV may have changed.
+rm -f "$ART/plots_r5.txt.rc"
+
 run 1200 i16_probe_r5.txt python benchmarks/tuning/i16_probe.py
-run 2400 envelope_probe_r5.txt python benchmarks/tuning/envelope_probe.py
-run 2400 envelope_probe_r5_h2330.txt \
-  env HEIGHT=2330 WIDTHS=3504,5120 python benchmarks/tuning/envelope_probe.py
-run 3000 wide_probe_r5.txt python benchmarks/tuning/wide_probe.py
-run 3000 wide_validate_r5.txt python benchmarks/tuning/wide_validate_r5.py
+run 2500 bench_r5_dry.txt python bench.py
 
 if [ -n "$IMG" ]; then
   run 2400 cli_verify_pallas_r5.txt python benchmarks/tpu/benchmark.py \
@@ -53,7 +69,11 @@ if [ -n "$IMG" ]; then
     "$IMG" /tmp/out_r5f --rounds 20 --dtype float32 --verify --mem-rounds 3
 fi
 
-run 2500 bench_r5_dry.txt python bench.py
+run 2400 envelope_probe_r5.txt python benchmarks/tuning/envelope_probe.py
+run 2400 envelope_probe_r5_h2330.txt \
+  env HEIGHT=2330 WIDTHS=3504,5120 python benchmarks/tuning/envelope_probe.py
+run 3000 wide_probe_r5.txt python benchmarks/tuning/wide_probe.py
+run 3000 wide_validate_r5.txt python benchmarks/tuning/wide_validate_r5.py
 
 # 7-8. Publication runs (VERDICT r4 #6): the reference's full 10,000-round
 # contract on BOTH paths, updating assets/results.csv's TPU rows in place
@@ -94,4 +114,12 @@ else
   run 600 plots_r5.txt python -m dip_benchmark_tpu.utils.plots \
     assets/results.csv assets
 fi
-echo "=== sweep complete; artifacts in $ART ==="
+# Exit code = number of failed steps, so the watcher can tell a complete
+# sweep (0 -> stop watching) from one cut off mid-window (re-run resumes).
+bad=0
+for f in "$ART"/*.rc; do
+  [ -f "$f" ] || continue
+  [ "$(cat "$f")" = "0" ] || { bad=$((bad+1)); echo "FAILED step: $f ($(cat "$f"))"; }
+done
+echo "=== sweep complete; $bad step(s) failed; artifacts in $ART ==="
+exit "$bad"

@@ -25,9 +25,13 @@ assert any(d.platform.lower() == 'tpu' for d in ds), ds
 print('TPU up:', ds)
 " >> "$LOG" 2>&1; then
     echo "$(date -u +%FT%TZ) TPU UP — launching r5 sweep" | tee -a "$LOG"
-    bash benchmarks/tuning/r5_hw_sweep.sh 2>&1 | tee docs/artifacts/r5_sweep_console.txt
-    echo "$(date -u +%FT%TZ) sweep finished" | tee -a "$LOG"
-    break
+    bash benchmarks/tuning/r5_hw_sweep.sh 2>&1 | tee -a docs/artifacts/r5_sweep_console.txt
+    rc=${PIPESTATUS[0]}
+    echo "$(date -u +%FT%TZ) sweep finished ($rc failed steps)" | tee -a "$LOG"
+    # A fully-green sweep ends the watch; a sweep cut off mid-window
+    # (tunnel died again) resumes watching — the sweep is resumable and
+    # skips already-completed steps on the next recovery.
+    [ "$rc" -eq 0 ] && break
   fi
   echo "$(date -u +%FT%TZ) still down; sleep 240" >> "$LOG"
   sleep 240
