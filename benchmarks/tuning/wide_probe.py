@@ -37,6 +37,10 @@ K2 = int(os.environ.get("K2", "25"))
 HEIGHT = int(os.environ.get("HEIGHT", "1024"))
 WIDTH = int(os.environ.get("WIDTH", "65536"))
 COLS = os.environ.get("COLS", "Erosion-3x3-Square,Convolution-5x5").split(",")
+# Strip-width override (0 = the model's default plan). Lets an offline
+# CPU dry-run exercise a multi-strip plan at tiny sizes before the
+# script runs unattended on a real TPU window.
+STRIP = int(os.environ.get("STRIP", "0")) or None
 
 
 def main() -> int:
@@ -48,7 +52,7 @@ def main() -> int:
     except ValueError:
         print(f"width {WIDTH}: beyond the single-buffer envelope "
               f"(make_layout refuses) — strip model required", flush=True)
-    wl = wide.make_wide_layout(HEIGHT, WIDTH)
+    wl = wide.make_wide_layout(HEIGHT, WIDTH, strip_width=STRIP)
     print(f"strip plan: {wl.n_strips} strips of {wl.strip_width} "
           f"(last {wl.layouts[-1].width}), band {wl.layouts[0].band}",
           flush=True)

@@ -44,6 +44,8 @@ COLS = os.environ.get(
     "COLS", "Convolution-5x5,Erosion-3x3-Square,Gaussian-Blur-3x3"
 ).split(",")
 CHAIN = ("Grayscale", "Threshold", "Erosion-3x3-Square")
+# Strip-width override (0 = the model's default plan) — see wide_probe.py.
+STRIP = int(os.environ.get("STRIP", "0")) or None
 
 
 def _exec_marginal(op, src):
@@ -72,7 +74,7 @@ def main() -> int:
     mb = image.nbytes / 2**20
 
     # A. wide session ops at the capped conv band
-    wl = wide.make_wide_layout(HEIGHT, WIDTH)
+    wl = wide.make_wide_layout(HEIGHT, WIDTH, strip_width=STRIP)
     eff = image_mod.conv5_effective_band(wl.layouts[0])
     print(f"plan: {wl.n_strips} strips of {wl.strip_width} "
           f"(band {wl.layouts[0].band}, conv-5x5 effective band {eff}, "
@@ -101,7 +103,8 @@ def main() -> int:
     from dip_benchmark_tpu.parallel import make_mesh
     from dip_benchmark_tpu.parallel import wide as swide
     mesh = make_mesh(n_space=1)
-    sops, swl = swide.build_sharded_wide_ops(mesh, HEIGHT, WIDTH)
+    sops, swl = swide.build_sharded_wide_ops(mesh, HEIGHT, WIDTH,
+                                             strip_width=STRIP)
     sstrips = swide.put_sharded_wide(
         swide.to_sharded_wide_resident(image, swl, 1), mesh)
     jax.block_until_ready(sstrips)
