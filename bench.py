@@ -104,9 +104,51 @@ def _d2h_floor(nbytes: int, reps: int = 4) -> float:
     return min(d2h)
 
 
+def _wait_for_device_lock(lock_path: str | None = None,
+                          wait_s: float | None = None,
+                          poll_s: float = 15.0) -> float:
+    """If another benchmark process holds the device, wait boundedly for
+    it to release rather than contending — two device processes wedge the
+    relay rig (DESIGN §4). The staged hardware sweep
+    (benchmarks/tuning/r5_hw_sweep.sh) writes its PID to the lock while it
+    owns the TPU; a driver-launched bench landing mid-sweep waits up to
+    DIP_TPU_LOCK_WAIT_S (default 900 s), then proceeds anyway (a contended
+    number still beats none). A stale lock (holder dead) is ignored.
+    Returns the seconds actually waited."""
+    lock_path = lock_path or os.environ.get(
+        "DIP_TPU_DEVICE_LOCK", "/tmp/dip_tpu_device.lock")
+    if wait_s is None:
+        wait_s = float(os.environ.get("DIP_TPU_LOCK_WAIT_S", "900"))
+    waited = 0.0
+    announced = False
+    while waited < wait_s:
+        try:
+            pid = int(open(lock_path).read().strip())
+        except (OSError, ValueError):
+            return waited
+        try:
+            os.kill(pid, 0)  # liveness probe only
+        except ProcessLookupError:
+            return waited    # stale lock: holder is gone
+        except PermissionError:
+            pass             # alive under another uid
+        if not announced:
+            print(f"bench: device lock {lock_path} held by pid {pid}; "
+                  f"waiting up to {wait_s:.0f}s", file=sys.stderr)
+            announced = True
+        step = min(poll_s, wait_s - waited)
+        time.sleep(step)
+        waited += step
+    if announced:
+        print(f"bench: lock still held after {waited:.0f}s; proceeding",
+              file=sys.stderr)
+    return waited
+
+
 def main() -> int:
     rounds = int(os.environ.get("BENCH_ROUNDS", "300"))
     path = os.environ.get("BENCH_PATH", "pallas")
+    _wait_for_device_lock()
 
     from dip_benchmark_tpu.harness import BenchmarkRunner
     from dip_benchmark_tpu.runtime.cache import enable_compilation_cache

@@ -28,6 +28,15 @@ set -u
 cd "$(dirname "$0")/../.." || exit 1
 ART=docs/artifacts
 mkdir -p "$ART"
+
+# Hold the device lock for the whole sweep: a driver-launched bench.py
+# landing mid-sweep waits on this instead of contending for the one TPU
+# (bench._wait_for_device_lock). Our own bench step must NOT wait on our
+# own lock, so steps run with a zero wait.
+LOCK=${DIP_TPU_DEVICE_LOCK:-/tmp/dip_tpu_device.lock}
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+export DIP_TPU_LOCK_WAIT_S=0
 IMG=${DIP_TPU_IMAGE:-/root/reference/assets/fundus.jpg}
 [ -f "$IMG" ] || IMG=""   # testimage fallback inside the tools
 
