@@ -133,6 +133,47 @@ def build_parser() -> ArgumentParser:
     return parser
 
 
+def _make_session(args, image, device, needs_wide: bool):
+    """Route to the session flavor the (width, --shards, --path) combo
+    needs. May raise ValueError for envelope/size/shard-fit contract
+    failures (main() delivers those gated, with exit code 2)."""
+    if args.shards:
+        if needs_wide:
+            # Beyond-envelope width under --shards: the 2-D strips-per-
+            # shard session (parallel/wide.py — column strips per row
+            # shard, row halos over ICI + column seams local, bit-exact,
+            # tests/test_sharded_wide.py).
+            from .parallel.wide import ShardedWideBenchmarkSession
+            session = ShardedWideBenchmarkSession(
+                image, n_devices=args.shards, dtype=args.dtype)
+            print(f"NOTE: width {image.shape[1]} exceeds the "
+                  f"single-buffer envelope; using the sharded-wide model "
+                  f"({session.wl.n_strips} strips of "
+                  f"{session.wl.strip_width} per row shard, "
+                  f"{args.shards} shards)", file=sys.stderr)
+            return session
+        from .parallel.session import ShardedBenchmarkSession
+        return ShardedBenchmarkSession(
+            image, n_devices=args.shards, path=args.path, dtype=args.dtype)
+    if needs_wide:
+        # Width past the single-buffer VMEM envelope: run the column-strip
+        # resident model (models/wide.py) — same kernels, N strips, seam
+        # refresh per windowed application. Full feature parity with the
+        # single-buffer session: --warm (aot.warm compiles the strip ops),
+        # --chained (the fori_loop carries the strip pytree), --fuse (one
+        # fused chain kernel per strip, wide_fused_chain).
+        from .models.wide import WideBenchmarkSession
+        session = WideBenchmarkSession(image, dtype=args.dtype,
+                                       device=device)
+        print(f"NOTE: width {image.shape[1]} exceeds the single-buffer "
+              f"envelope; using the column-strip resident model "
+              f"({session.wl.n_strips} strips of {session.wl.strip_width})",
+              file=sys.stderr)
+        return session
+    return BenchmarkSession(image, path=args.path, device=device,
+                            dtype=args.dtype)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -157,50 +198,24 @@ def main(argv: list[str] | None = None) -> int:
         needs_wide = fit_band(
             image.shape[1],
             itemsize=4 if args.dtype == "float32" else 1) == 0
-    if args.shards:
-        if needs_wide:
-            # Beyond-envelope width under --shards: the 2-D strips-per-
-            # shard session (parallel/wide.py — column strips per row
-            # shard, row halos over ICI + column seams local, bit-exact,
-            # tests/test_sharded_wide.py).
-            from .parallel.wide import ShardedWideBenchmarkSession
-            session = ShardedWideBenchmarkSession(
-                image, n_devices=args.shards, dtype=args.dtype)
-            print(f"NOTE: width {image.shape[1]} exceeds the "
-                  f"single-buffer envelope; using the sharded-wide model "
-                  f"({session.wl.n_strips} strips of "
-                  f"{session.wl.strip_width} per row shard, "
-                  f"{args.shards} shards)", file=sys.stderr)
-        else:
-            from .parallel.session import ShardedBenchmarkSession
-            session = ShardedBenchmarkSession(
-                image, n_devices=args.shards, path=args.path,
-                dtype=args.dtype)
-    elif needs_wide:
-        # Width past the single-buffer VMEM envelope: run the column-strip
-        # resident model (models/wide.py) — same kernels, N strips, seam
-        # refresh per windowed application. Full feature parity with the
-        # single-buffer session: --warm (aot.warm compiles the strip ops),
-        # --chained (the fori_loop carries the strip pytree), --fuse (one
-        # fused chain kernel per strip, wide_fused_chain).
-        from .models.wide import WideBenchmarkSession
-        session = WideBenchmarkSession(image, dtype=args.dtype,
-                                       device=device)
-        print(f"NOTE: width {image.shape[1]} exceeds the single-buffer "
-              f"envelope; using the column-strip resident model "
-              f"({session.wl.n_strips} strips of {session.wl.strip_width})",
-              file=sys.stderr)
-    else:
-        session = BenchmarkSession(image, path=args.path, device=device,
-                                   dtype=args.dtype)
+    try:
+        session = _make_session(args, image, device, needs_wide)
+    except ValueError as e:
+        # Envelope/size/shard-fit contract failures carry remedy text;
+        # deliver it the gated way, not as a raw traceback.
+        print(f"benchmark: {e}", file=sys.stderr)
+        return 2
     if args.warm:
         # Both session flavors: aot.warm compiles the sharded session's
         # shard_map programs the same way (mesh captured in the lowering).
         from .runtime.aot import warm
         warm(session)
     if args.chained:
-        if args.verify or args.shards:
-            print("--chained is measurement-only (no --verify/--shards)",
+        # ShardedBenchmarkSession has no chained surface; the other three
+        # flavors (single-buffer, wide, sharded-wide) all do.
+        if args.verify or (args.shards and not needs_wide):
+            print("--chained is measurement-only (no --verify; with "
+                  "--shards only the sharded-wide route supports it)",
                   file=sys.stderr)
             return 2
         table = session.chained_operations(

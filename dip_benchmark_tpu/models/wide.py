@@ -257,11 +257,21 @@ def refresh_wide(strips: list[jnp.ndarray], wl: WideLayout):
                          for s, lo in zip(strips, wl.layouts)], wl)
 
 
-def _build_wide(wl: WideLayout, builder, refresh: bool = True) -> dict:
-    per_layout: dict[PlanarLayout, dict] = {}
+def kernels_per_layout(wl: WideLayout, build) -> dict:
+    """One kernel set per DISTINCT strip layout: strips sharing a layout
+    (all interior strips, usually) share compiled kernels; only a
+    different-width remainder strip builds its own. The single
+    kernel-sharing policy for every wide surface (resident ops, fused
+    chains, and their sharded composition in parallel/wide.py)."""
+    per_layout: dict[PlanarLayout, object] = {}
     for lo in wl.layouts:
         if lo not in per_layout:
-            per_layout[lo] = builder(lo)
+            per_layout[lo] = build(lo)
+    return per_layout
+
+
+def _build_wide(wl: WideLayout, builder, refresh: bool = True) -> dict:
+    per_layout = kernels_per_layout(wl, builder)
 
     def make(col):
         needs_halo = refresh and col in WINDOWED_COLS
@@ -356,10 +366,7 @@ def wide_fused_chain(wl: WideLayout, cols: tuple[str, ...]):
             f"{max(ry, rx)})")
     make = (chain_model.make_fused_chain_f32 if wl.itemsize == 4
             else chain_model.make_fused_chain)
-    per_layout: dict[PlanarLayout, object] = {}
-    for lo in wl.layouts:
-        if lo not in per_layout:
-            per_layout[lo] = make(lo, list(cols))
+    per_layout = kernels_per_layout(wl, lambda lo: make(lo, list(cols)))
 
     @jax.jit
     def chain(strips):
@@ -390,7 +397,8 @@ def apply_streaming(image: np.ndarray, col: str,
     dtype "uint8" (primary, uint8 HWC in/out) or "float32" (the CUDA.jl-
     parity model: uint8 HWC in, f32 [0,1] (C, H, W) planar out — the f32
     model's native shape, like from_wide_resident_f32)."""
-    assert col in WIDE_COLS, col
+    if col not in WIDE_COLS:
+        raise ValueError(f"unknown column {col!r}; valid: {WIDE_COLS}")
     if dtype not in ("uint8", "float32"):
         raise ValueError(f"Unknown dtype: {dtype!r}")
     f32 = dtype == "float32"
@@ -412,9 +420,15 @@ def apply_streaming(image: np.ndarray, col: str,
                 refresh=False))
         return plans[hb]
 
+    starts = list(range(0, h, block_rows))
+    # A remainder shorter than the strip plan's halo+1 minimum can't
+    # carry its own layout (make_wide_layout's mirror guard); fold it
+    # into the previous block, which gets its own slightly-taller plan.
+    if len(starts) > 1 and h - starts[-1] < image_mod.DEFAULT_HALO + 1:
+        starts.pop()
     parts = []
-    for y0 in range(0, h, block_rows):
-        hb = min(block_rows, h - y0)
+    for i, y0 in enumerate(starts):
+        hb = (h - y0) if i == len(starts) - 1 else block_rows
         wl, ops = plan(hb)
         if f32:
             strips = put_wide(to_wide_resident_f32(image, wl, row0=y0))
@@ -482,7 +496,11 @@ class WideBenchmarkSession:
     def _download(self):
         if self._chunked_dl is None:
             from ..runtime.transfer import make_chunked_download
-            self._chunked_dl = make_chunked_download(self._mem_dev)
+            # f32's planar (C, H, W) payload must chunk along rows (the
+            # ShardedWideBenchmarkSession rule) — axis 0 would clamp the
+            # pipeline to 3 plane-reads.
+            self._chunked_dl = make_chunked_download(
+                self._mem_dev, axis=1 if self.dtype == "float32" else 0)
         return self._chunked_dl()
 
     def _download_prepare(self):

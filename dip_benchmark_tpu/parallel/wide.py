@@ -62,14 +62,15 @@ def make_sharded_wide_plan(height: int, width: int, n: int,
     if height % n:
         raise ValueError(f"{n} row shards must divide height {height}")
     h_loc = height // n
-    wl = wide_mod.make_wide_layout(h_loc, width, channels, halo=halo,
-                                   strip_width=strip_width,
-                                   itemsize=itemsize)
-    if h_loc < wl.halo + 1:
+    # Check BEFORE building the layout: make_wide_layout's own min-dims
+    # guard fires first otherwise, hiding the actionable remedy.
+    if h_loc < halo + 1:
         raise ValueError(
             f"shards of {h_loc} rows are too small for the row-halo "
-            f"refresh (need >= {wl.halo + 1}); use fewer devices")
-    return wl
+            f"refresh (need >= {halo + 1}); use fewer devices")
+    return wide_mod.make_wide_layout(h_loc, width, channels, halo=halo,
+                                     strip_width=strip_width,
+                                     itemsize=itemsize)
 
 
 def to_sharded_wide_resident(image: np.ndarray, wl: WideLayout,
@@ -154,10 +155,7 @@ def build_sharded_wide_ops(mesh: Mesh, height: int, width: int,
         raise ValueError(f"Unknown dtype: {dtype!r}")
     wl = make_sharded_wide_plan(height, width, n, channels=channels,
                                 strip_width=strip_width, itemsize=itemsize)
-    per_layout: dict = {}
-    for lo in wl.layouts:
-        if lo not in per_layout:
-            per_layout[lo] = builder(lo)
+    per_layout = wide_mod.kernels_per_layout(wl, builder)
     h_loc = wl.height
 
     def lift(col):
@@ -201,10 +199,8 @@ def sharded_wide_chain(mesh: Mesh, wl: WideLayout, cols: tuple[str, ...],
             f"halo={max(ry, rx)})")
     make = (chain_model.make_fused_chain_f32 if wl.itemsize == 4
             else chain_model.make_fused_chain)
-    per_layout: dict = {}
-    for lo in wl.layouts:
-        if lo not in per_layout:
-            per_layout[lo] = make(lo, list(cols))
+    per_layout = wide_mod.kernels_per_layout(
+        wl, lambda lo: make(lo, list(cols)))
     h_loc = wl.height
 
     def body(strips):
@@ -243,6 +239,9 @@ class ShardedWideBenchmarkSession(wide_mod.WideBenchmarkSession):
                  mesh: Mesh | None = None, dtype: str = "uint8",
                  strip_width: int | None = None):
         assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        if min(host_image.shape[:2]) < 5:
+            # Same minimum-size contract as WideBenchmarkSession.
+            raise ValueError("image must be at least 5x5")
         if dtype not in ("uint8", "float32"):
             raise ValueError(f"Unknown dtype: {dtype!r}")
         from jax.sharding import NamedSharding
@@ -267,6 +266,12 @@ class ShardedWideBenchmarkSession(wide_mod.WideBenchmarkSession):
         pad = (-h) % n
         if pad == 1:
             pad += n
+        if pad > h:
+            # The mirror slice below reads the last `pad` valid rows; a
+            # deeper pad would wrap. Same rule as chain_operation's.
+            raise ValueError(
+                f"image of {h} rows is too small for {n} row shards "
+                f"(needs {pad} mirror rows); use fewer devices")
         img = host_image
         if pad:
             img = np.concatenate([img, img[h - pad:][::-1]], axis=0)

@@ -88,7 +88,7 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
 
-    def call(x):
-        return jax.jit(exported.call)(x)
-
-    return call
+    # Hoisted: one jit wrapper for the callable's lifetime. Wrapping per
+    # call would hand every invocation a fresh (empty-cache) wrapper and
+    # retrace each request — the opposite of what this module is for.
+    return jax.jit(exported.call)

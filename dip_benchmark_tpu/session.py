@@ -142,7 +142,11 @@ class BenchmarkSession:
     def _download(self):
         if self._chunked_dl is None:
             from .runtime.transfer import make_chunked_download
-            self._chunked_dl = make_chunked_download(self._mem_dev)
+            # The f32 payload is planar (C, H, W): chunk along rows, not
+            # the 3-plane leading axis, or the read pipeline clamps to 3
+            # chunks (uint8 HWC splits rows at axis 0 already).
+            self._chunked_dl = make_chunked_download(
+                self._mem_dev, axis=1 if self.dtype == "float32" else 0)
         return self._chunked_dl()
 
     def _download_prepare(self):

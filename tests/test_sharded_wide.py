@@ -42,8 +42,22 @@ def test_sharded_wide_round_trip(devices_ok):
 def test_sharded_wide_plan_validation():
     with pytest.raises(ValueError, match="divide height"):
         swide.make_sharded_wide_plan(30, 300, 4, strip_width=LANE)
-    with pytest.raises(ValueError, match="too small"):
+    # The shard-size check must fire before make_wide_layout's own
+    # min-dims guard so the user sees the actionable remedy.
+    with pytest.raises(ValueError, match="use fewer devices"):
         swide.make_sharded_wide_plan(8, 300, 4, strip_width=LANE)
+
+
+def test_sharded_wide_session_rejects_tiny_images(devices_ok):
+    # below the 5x5 contract shared with WideBenchmarkSession
+    with pytest.raises(ValueError, match="at least 5x5"):
+        swide.ShardedWideBenchmarkSession(_img(4, 300), n_devices=1,
+                                          strip_width=LANE)
+    # tall enough for the contract but too short for 8 shards' mirror
+    # padding: a named remedy, not a wrapped-slice nonsense error
+    with pytest.raises(ValueError, match="use fewer devices"):
+        swide.ShardedWideBenchmarkSession(_img(7, 300), n_devices=8,
+                                          strip_width=LANE)
 
 
 @pytest.mark.parametrize("col", [
@@ -235,3 +249,24 @@ def test_cli_sharded_wide_route(devices_ok, tmp_path, monkeypatch, capsys):
                    "--backend", "cpu", "--shards", "2", "--verify"])
     assert rc == 0
     assert "sharded-wide model" in capsys.readouterr().err
+    # --chained reaches the sharded-wide route (round-5 review: the
+    # blanket --shards guard made the implemented surface unreachable)
+    rc = cli.main([str(path), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--shards", "2", "--chained", "2"])
+    assert rc == 0
+    # ... while the plain sharded session (no chained surface) still
+    # rejects it with the gated message
+    narrow = tmp_path / "narrow.png"
+    save_image(str(narrow), _img(24, 64, seed=54))
+    rc = cli.main([str(narrow), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--shards", "2", "--chained", "2"])
+    assert rc == 2
+    assert "sharded-wide route" in capsys.readouterr().err
+    # a session-construction contract failure exits 2 with remedy text
+    # instead of a raw traceback (7 rows can't pad to 8 shards)
+    short = tmp_path / "short.png"
+    save_image(str(short), _img(7, 300, seed=55))
+    rc = cli.main([str(short), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--shards", "8"])
+    assert rc == 2
+    assert "use fewer devices" in capsys.readouterr().err

@@ -246,6 +246,35 @@ def test_wide_streaming_row_blocks(col):
                                   err_msg=col)
 
 
+@pytest.mark.parametrize("h", [33, 34])
+def test_wide_streaming_short_remainder_block(h):
+    """A last row block shorter than halo+1 (h % block_rows in {1, 2})
+    folds into the previous block instead of crashing make_wide_layout's
+    min-dims guard (round-5 review)."""
+    img = _img(h, 300, seed=47)
+    got = wide.apply_streaming(img, "Erosion-3x3-Square", block_rows=16,
+                               strip_width=LANE)
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Erosion-3x3-Square"](img))
+
+
+def test_wide_streaming_rejects_unknown_column():
+    with pytest.raises(ValueError, match="unknown column"):
+        wide.apply_streaming(_img(20, 300), "Upload", strip_width=LANE)
+
+
+def test_f32_download_chunks_rows_not_planes():
+    """The f32 planar (C, H, W) Download payload must chunk along rows
+    (axis 1) so the chunked reader keeps its full pipeline depth, and
+    the read must still round-trip exactly (wide + single-buffer)."""
+    from dip_benchmark_tpu.session import BenchmarkSession
+    img = _img(40, 300, seed=59)
+    ws = wide.WideBenchmarkSession(img, dtype="float32", strip_width=LANE)
+    np.testing.assert_array_equal(ws._download(), ws._mem_host)
+    bs = BenchmarkSession(_img(40, 60, seed=60), dtype="float32")
+    np.testing.assert_array_equal(bs._download(), bs._mem_host)
+
+
 def test_wide_streaming_f32():
     """apply_streaming on the f32 model: stitched blocks match the f32
     oracle (erosion: selection, exact even across block seams)."""
