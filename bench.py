@@ -104,6 +104,19 @@ def _d2h_floor(nbytes: int, reps: int = 4) -> float:
     return min(d2h)
 
 
+def _env_num(name: str, default: str, cast):
+    """Parse a numeric env knob; a malformed value falls back to the
+    default with a stderr note instead of a pre-JSON traceback (the gate
+    module applies the same rule to its own knobs)."""
+    raw = os.environ.get(name, default)
+    try:
+        return cast(raw)
+    except (TypeError, ValueError):
+        print(f"bench: malformed {name}={raw!r}; using {default}",
+              file=sys.stderr)
+        return cast(default)
+
+
 def _wait_for_device_lock(lock_path: str | None = None,
                           wait_s: float | None = None,
                           poll_s: float = 15.0) -> float:
@@ -118,13 +131,17 @@ def _wait_for_device_lock(lock_path: str | None = None,
     lock_path = lock_path or os.environ.get(
         "DIP_TPU_DEVICE_LOCK", "/tmp/dip_tpu_device.lock")
     if wait_s is None:
-        wait_s = float(os.environ.get("DIP_TPU_LOCK_WAIT_S", "900"))
+        wait_s = _env_num("DIP_TPU_LOCK_WAIT_S", "900", float)
     waited = 0.0
     announced = False
     while waited < wait_s:
         try:
             pid = int(open(lock_path).read().strip())
         except (OSError, ValueError):
+            return waited
+        if pid <= 0:
+            # Corrupt lock: os.kill(0/negative, 0) signals our own
+            # process group and always "succeeds" — treat as stale.
             return waited
         try:
             os.kill(pid, 0)  # liveness probe only
@@ -146,7 +163,7 @@ def _wait_for_device_lock(lock_path: str | None = None,
 
 
 def main() -> int:
-    rounds = int(os.environ.get("BENCH_ROUNDS", "300"))
+    rounds = _env_num("BENCH_ROUNDS", "300", int)
     path = os.environ.get("BENCH_PATH", "pallas")
     _wait_for_device_lock()
 
@@ -207,13 +224,18 @@ def main() -> int:
         table, rounds=rounds,
         rounds_override={"Upload": mem_rounds, "Download": mem_rounds},
         stats=True, warmup=10)
-    results = runner.run(verify_against=image, quiet=True)
-
-    # D2H floor IMMEDIATELY after the run (whose last measured op is
-    # Download): same weather window, so Download/floor is a real ratio —
-    # round-2 probed it after the exec tables, minutes of weather later,
-    # and the ratio misstated the op by up to 1.3x (DESIGN.md §4.6).
-    d2h_floor = _d2h_floor(image.nbytes)
+    # D2H floor via post_measure: IMMEDIATELY after the timing phase
+    # (whose last measured op is Download) and BEFORE the verify pass,
+    # whose 12 full-image fetches take minutes of D2H on the relay —
+    # same weather window, so Download/floor is a real ratio (round-2
+    # probed it after the exec tables and misstated it up to 1.3x,
+    # DESIGN.md §4.6).
+    floor_box: dict = {}
+    results = runner.run(
+        verify_against=image, quiet=True,
+        post_measure=lambda: floor_box.__setitem__(
+            "d2h", _d2h_floor(image.nbytes)))
+    d2h_floor = floor_box["d2h"]
 
     once_s = {r.csv_column: r.time_once for r in pre.results}
     mean2_s = {r.csv_column: r.time_rounds for r in pre.results}
@@ -236,10 +258,14 @@ def main() -> int:
         # window (D2H weather alone swings 1-2.7 s across minutes, so a
         # floor probed later can misstate the ratio).
         once = once_s.get(col, r.time_once)
+        # samples: the TRUE pooled count behind p50/mean — the top-level
+        # "rounds" is the per-sweep compute-op setting; Upload/Download
+        # run only mem_rounds each, and auditors should see that.
         ops_json[col] = {"p50_us": round(p50 * 1e6, 2),
                          "mean_us": round(mean * 1e6, 2),
                          "min_us": round(pooled[0] * 1e6, 2),
-                         "once_ms": round(once * 1e3, 3)}
+                         "once_ms": round(once * 1e3, 3),
+                         "samples": len(pooled)}
         extra = (f", sweep means {mean2_s[col] * 1e6:.1f}/"
                  f"{r.time_rounds * 1e6:.1f} us" if col in mean2_s else "")
         print(f"  {col:28s} {p50 * 1e6:10.1f} us p50   "

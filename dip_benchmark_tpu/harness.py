@@ -86,7 +86,13 @@ class BenchmarkRunner:
     def run(self, filename: str | None = None, outdir: str | None = None,
             verify_against: np.ndarray | None = None,
             verify_ops: dict | None = None, verify_atol: int = 0,
-            quiet: bool = False) -> list[reporting.OpResult]:
+            quiet: bool = False,
+            post_measure=None) -> list[reporting.OpResult]:
+        """post_measure: optional nullary callback invoked right after the
+        timing phase, BEFORE the fetch/verify pass — bench.py probes the
+        D2H transport floor there so the Download/floor ratio compares
+        two reads from the same relay-weather window (the verify pass
+        itself performs minutes of D2H on tunneled rigs)."""
         width = max(len(op.description) for op in self.operations)
         failures: list[str] = []
         if verify_against is not None and verify_ops is None:
@@ -122,6 +128,8 @@ class BenchmarkRunner:
                 op.description, op.prefix, op.csv_column,
                 time_once, time_rounds / op.time_scale, rounds=n)
         self.results = [by_id[id(op)] for op in self.operations]
+        if post_measure is not None:
+            post_measure()
 
         # Phase 2: report rows in canonical order, then fetch/save/verify
         # (re-running each image op once, untimed).

@@ -130,8 +130,17 @@ def _require_device_once(backend: str,
     if timeout_s is None:
         timeout_s = GATE_TIMEOUT_S
     if backend == "any":
-        return _call_with_deadline(
-            default_device, timeout_s, "backend initialization")
+        try:
+            return _call_with_deadline(
+                default_device, timeout_s, "backend initialization")
+        except DeviceGateError:
+            raise
+        except RuntimeError as e:
+            # Same wrap as the named-backend branch: callers (bench.py's
+            # JSON error line, cli.py's exit-4 message) rely on every
+            # prompt init failure arriving as a DeviceGateError.
+            raise DeviceGateError(
+                f"Backend initialization failed: {e}") from e
     try:
         devices = _call_with_deadline(
             lambda: jax.devices(backend), timeout_s,

@@ -24,13 +24,23 @@ OP_GROUPS = {
 }
 
 
-def read_results(csv_path: str) -> tuple[list[str], dict[str, list[float]]]:
-    """Return (tools, {op_column: [seconds per tool]})."""
+def read_results(csv_path: str) -> tuple[list[str], dict[str, list]]:
+    """Return (tools, {op_column: [seconds-or-None per tool]}). Empty or
+    missing cells are legitimate (csv_row writes '' for ops a partial run
+    — e.g. --chained — didn't cover); they parse to None and the
+    renderers skip those bars."""
     with open(csv_path) as f:
         rows = list(csv.DictReader(f))
+
+    def _parse(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
     tools = [r["Tool"] for r in rows]
     columns = [c for c in rows[0].keys() if c != "Tool"]
-    data = {c: [float(r[c]) for r in rows] for c in columns}
+    data = {c: [_parse(r.get(c)) for r in rows] for c in columns}
     return tools, data
 
 
@@ -53,7 +63,8 @@ def render_group_charts(csv_path: str, outdir: str) -> list[str]:
         ys = np.arange(len(ops), dtype=float)
         bar_h = 0.8 / len(tools)
         for t, tool in enumerate(tools):
-            vals_us = [data[op][t] * 1e6 for op in ops]
+            vals_us = [data[op][t] * 1e6 if data[op][t] is not None
+                       else float("nan") for op in ops]
             ax.barh(ys + t * bar_h, vals_us, bar_h, label=tool,
                     color=colors[t])
             for y, v in zip(ys + t * bar_h, vals_us):
@@ -103,6 +114,13 @@ def render_exec_chart(csv_path: str, bench_json_path: str,
         raise ValueError(f"{bench_json_path} has no per-op exec_us rows")
     ops = [op for op in data
            if op not in ("Upload", "Download") and op in exec_us]
+    dropped = [op for op in data
+               if op not in ("Upload", "Download") and op not in exec_us]
+    if dropped:
+        # A jitter-unresolved op (bench omits exec_us rows rounding to 0)
+        # must not silently shrink "the 12-op chart".
+        print(f"NOTE: no exec_us for {', '.join(dropped)} — omitted from "
+              f"{outpath}", file=sys.stderr)
     ref_tools = [t for t in tools if not t.startswith("TPU")]
 
     fig, ax = plt.subplots(figsize=(11, 1.5 + 0.75 * len(ops)))
@@ -112,7 +130,8 @@ def render_exec_chart(csv_path: str, bench_json_path: str,
     colors = plt.colormaps["tab10"](np.linspace(0, 1, max(nbars, 3)))
     for t, tool in enumerate(ref_tools):
         ti = tools.index(tool)
-        vals = [data[op][ti] * 1e6 for op in ops]
+        vals = [data[op][ti] * 1e6 if data[op][ti] is not None
+                else float("nan") for op in ops]
         ax.barh(ys + t * bar_h, vals, bar_h,
                 label=f"{tool} (per-round, partly async)", color=colors[t])
     vals = [exec_us[op] for op in ops]

@@ -53,8 +53,17 @@ def write_csv(path: str, tool: str, results: list[OpResult]) -> None:
     lines: list[str] = []
     if os.path.exists(path):
         with open(path) as f:
-            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
-    if not lines or lines[0] != spec.CSV_HEADER:
+            # rstrip \r too: a CRLF checkout must not fail the header
+            # match below and lose the other tools' rows.
+            lines = [ln.rstrip("\r\n") for ln in f if ln.strip()]
+    if lines and lines[0] != spec.CSV_HEADER:
+        # Never silently clobber a file we don't recognize — the update
+        # contract is "replace MY tool's row", not "rewrite the file".
+        raise ValueError(
+            f"{path} exists but its header doesn't match the reference "
+            f"results.csv schema (got {lines[0][:60]!r}); refusing to "
+            f"rewrite it")
+    if not lines:
         lines = [spec.CSV_HEADER]
     lines = [lines[0]] + [ln for ln in lines[1:]
                           if ln.split(",", 1)[0] != tool]

@@ -46,6 +46,45 @@ def test_csv_round_trip(tmp_path):
     assert len(lines) == 3
 
 
+def test_csv_crlf_file_keeps_other_rows(tmp_path):
+    """A CRLF results.csv (Windows checkout / copied asset) must not
+    fail the header match and silently drop the other tools' rows."""
+    results = [reporting.OpResult(d, p, c, 0.01, 0.001)
+               for d, p, c in spec.OPERATION_MATRIX]
+    csv = tmp_path / "results.csv"
+    reporting.write_csv(str(csv), "CUDA", results)
+    csv.write_bytes(csv.read_text().replace("\n", "\r\n").encode())
+    reporting.write_csv(str(csv), "TPU", results)
+    lines = csv.read_text().strip().split("\n")
+    assert len(lines) == 3 and lines[1].startswith("CUDA,")
+
+
+def test_csv_refuses_foreign_file(tmp_path):
+    """Updating a file whose header isn't the reference schema must
+    error, never rewrite it (the contract is replace-my-row)."""
+    results = [reporting.OpResult(d, p, c, 0.01, 0.001)
+               for d, p, c in spec.OPERATION_MATRIX]
+    path = tmp_path / "notes.csv"
+    path.write_text("Tool,Some,Other,Header\nx,1,2,3\n")
+    with pytest.raises(ValueError, match="header"):
+        reporting.write_csv(str(path), "TPU", results)
+    assert "Other,Header" in path.read_text()  # untouched
+
+
+def test_plots_tolerate_partial_rows(tmp_path):
+    """csv_row writes '' for ops a partial run didn't cover; the chart
+    renderers must skip those cells, not crash on float('')."""
+    pytest.importorskip("matplotlib")
+    from dip_benchmark_tpu.utils import plots
+    partial = [reporting.OpResult(d, p, c, 0.01, 0.001)
+               for d, p, c in spec.OPERATION_MATRIX
+               if c not in ("Upload", "Download")]
+    csv = tmp_path / "results.csv"
+    reporting.write_csv(str(csv), "TPU", partial)
+    written = plots.render_group_charts(str(csv), str(tmp_path))
+    assert written  # memory-operations group renders with empty cells
+
+
 def test_csv_readable_by_plotpy_parser(tmp_path):
     """plot.py:6-18 parses with pandas; emulate its exact reads."""
     pd = pytest.importorskip("pandas")

@@ -53,6 +53,39 @@ def test_gate_hung_backend_init_times_out():
             RuntimeError("boom")), 5.0, "x")
 
 
+def test_any_gate_wraps_runtime_error(monkeypatch):
+    """The 'any' branch must deliver prompt init failures as
+    DeviceGateError like the named-backend branch — bench.py's JSON
+    error line and cli.py's exit-4 both catch only that type."""
+    from dip_benchmark_tpu.runtime import device as device_mod
+
+    def broken():
+        raise RuntimeError("plugin exploded — test")
+
+    monkeypatch.setattr(device_mod, "default_device", broken)
+    with pytest.raises(device_mod.DeviceGateError,
+                       match="initialization failed"):
+        device_mod.require_device("any", retries=0)
+
+
+def test_bench_env_and_lock_corruption_hardening(tmp_path, monkeypatch):
+    """Malformed numeric env knobs fall back (no pre-JSON traceback) and
+    a corrupt lock file (pid<=0) counts as stale, not alive-forever."""
+    import sys as _sys
+    _sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setenv("DIP_TPU_LOCK_WAIT_S", "15m")
+    assert bench._wait_for_device_lock(str(tmp_path / "absent")) == 0.0
+    assert bench._env_num("BENCH_ROUNDS", "300", int) == 300
+    monkeypatch.setenv("BENCH_ROUNDS", "lots")
+    assert bench._env_num("BENCH_ROUNDS", "300", int) == 300
+    lock = tmp_path / "device.lock"
+    lock.write_text("0")
+    assert bench._wait_for_device_lock(str(lock), wait_s=5.0,
+                                       poll_s=0.1) < 1.0
+
+
 def test_gate_retry_recovers_transient_timeout(monkeypatch, capsys):
     """Round-5 VERDICT #5: a TIMED-OUT backend discovery retries (bounded,
     DIP_TPU_GATE_RETRIES) before nulling a bench — a recovering relay
