@@ -144,8 +144,6 @@ def _dispatch_batch(images: np.ndarray, csv_column,
             kernel = _batched_pipeline(layout, b)
         stack = np.stack([to_planar_padded(im, layout) for im in images])
         return ("pallas", layout, (h, w), kernel(jax.device_put(stack)))
-    if isinstance(csv_column, (list, tuple)):
-        csv_column = tuple(csv_column)  # sharded chain: vmapped X-path
     op = batch_op(csv_column)
     x = images
     if mesh is not None:
@@ -198,13 +196,26 @@ def process_directory(indir: str, outdir: str,
     on-device — host JPEG/PNG work and device compute pipeline instead of
     strictly alternating (one chunk of latency hidden per chunk)."""
     os.makedirs(outdir, exist_ok=True)
-    by_shape: dict[tuple, list[tuple[str, np.ndarray]]] = {}
+
+    def probe_shape(path: str) -> tuple:
+        # Group by shape WITHOUT decoding: holding a whole directory of
+        # decoded images before the first dispatch bounds nothing. PIL
+        # reads dimensions from the header; load_image always yields RGB
+        # HWC, so channels are 3 regardless of the file's mode.
+        try:
+            from PIL import Image
+            with Image.open(path) as im:
+                w, h = im.size
+            return (h, w, 3)
+        except Exception:
+            return load_image(path).shape
+
+    by_shape: dict[tuple, list[tuple[str, str]]] = {}
     for name in sorted(os.listdir(indir)):
         path = os.path.join(indir, name)
         if not is_image_file(path):
             continue
-        img = load_image(path)
-        by_shape.setdefault(img.shape, []).append((name, img))
+        by_shape.setdefault(probe_shape(path), []).append((name, path))
 
     written = []
     pending: tuple[list, tuple] | None = None  # (chunk names, token)
@@ -219,7 +230,10 @@ def process_directory(indir: str, outdir: str,
     for _, items in by_shape.items():
         for i in range(0, len(items), batch_size):
             chunk = items[i:i + batch_size]
-            stack = np.stack([img for _, img in chunk])
+            # Decode per chunk: memory stays ~2 chunks (this stack + the
+            # pending fetch), and decode overlaps the previous chunk's
+            # device execution just like the encode side.
+            stack = np.stack([load_image(p) for _, p in chunk])
             token = _dispatch_batch(stack, csv_column, mesh=mesh)
             if pending is not None:
                 drain(pending)

@@ -457,7 +457,7 @@ class WideBenchmarkSession:
     def __init__(self, host_image: np.ndarray, dtype: str = "uint8",
                  strip_width: int | None = None,
                  device: jax.Device | None = None):
-        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        image_mod.check_uint8_hwc(host_image)
         if min(host_image.shape[:2]) < 5:
             raise ValueError("image must be at least 5x5")
         if dtype not in ("uint8", "float32"):

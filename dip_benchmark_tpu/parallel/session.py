@@ -41,7 +41,15 @@ class ShardedBenchmarkSession:
     def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
                  mesh: Mesh | None = None, path: str = "xla",
                  dtype: str = "uint8"):
-        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        from ..utils.image import check_uint8_hwc
+        check_uint8_hwc(host_image)
+        if min(host_image.shape[:2]) < 5:
+            # Same contract as BenchmarkSession: narrower images break
+            # the 5x5 ops' column mirrors opaquely (or silently on the
+            # clipped Pallas path).
+            raise ValueError(
+                f"image must be at least 5x5 for the 5x5 convolution ops, "
+                f"got {host_image.shape[0]}x{host_image.shape[1]}")
         if dtype not in ("uint8", "float32"):
             raise ValueError(f"Unknown dtype: {dtype!r}")
         self.mesh = mesh or make_mesh(n_space=n_devices
@@ -270,6 +278,15 @@ class ShardedBenchmarkSession:
                 if c not in ("Upload", "Download")]
         if include_pipeline:
             cols.append("Fused-Pipeline")
+        # Shape preservation DETECTED, not assumed (session.py's rule): a
+        # future shape-changing sharded op gets a clear error instead of
+        # an opaque fori_loop carry mismatch inside execution_time.
+        banded = [col for col in cols
+                  if jax.eval_shape(self._ops[col], src).shape != src.shape]
+        if banded:
+            raise ValueError(
+                f"the sharded exec table requires shape-preserving ops; "
+                f"{banded} change the device-layout shape")
         rows = [(col, execution_time(self._ops[col], src,
                                      k1=k1, k2=k2, samples=samples,
                                      auto_scale=auto_scale))

@@ -238,7 +238,7 @@ class ShardedWideBenchmarkSession(wide_mod.WideBenchmarkSession):
     def __init__(self, host_image: np.ndarray, n_devices: int | None = None,
                  mesh: Mesh | None = None, dtype: str = "uint8",
                  strip_width: int | None = None):
-        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        image_mod.check_uint8_hwc(host_image)
         if min(host_image.shape[:2]) < 5:
             # Same minimum-size contract as WideBenchmarkSession.
             raise ValueError("image must be at least 5x5")

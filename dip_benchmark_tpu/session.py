@@ -52,7 +52,7 @@ class BenchmarkSession:
 
     def __init__(self, host_image: np.ndarray, path: str = "pallas",
                  device: jax.Device | None = None, dtype: str = "uint8"):
-        assert host_image.dtype == np.uint8 and host_image.ndim == 3
+        image_util.check_uint8_hwc(host_image)
         if min(host_image.shape[:2]) < 5:
             raise ValueError(
                 f"image must be at least 5x5 for the 5x5 convolution ops, "

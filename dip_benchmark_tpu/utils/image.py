@@ -45,6 +45,18 @@ def save_image(path: str, image: np.ndarray) -> None:
     Image.fromarray(image).save(path)  # pragma: no cover
 
 
+def check_uint8_hwc(image: np.ndarray) -> None:
+    """Session-constructor input contract, as a ValueError (not assert —
+    python -O strips asserts, and CLI callers rely on these firing;
+    models/chain.py states the convention)."""
+    if (getattr(image, "dtype", None) != np.uint8
+            or getattr(image, "ndim", 0) != 3):
+        raise ValueError(
+            f"expected a uint8 HWC image array, got "
+            f"dtype={getattr(image, 'dtype', type(image))} "
+            f"ndim={getattr(image, 'ndim', '?')}")
+
+
 def is_image_file(path: str) -> bool:
     if not os.path.isfile(path):
         return False

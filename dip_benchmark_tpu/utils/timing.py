@@ -55,6 +55,13 @@ def measure_time(func: Callable[[], Any], rounds: int,
     return (t1 - t0) * 1e-9, (t3 - t2) * 1e-9 / max(rounds, 1)
 
 
+def p95_nearest_rank(sorted_samples):
+    """Nearest-rank p95: index ceil(0.95n) - 1. The naive int(0.95n) is
+    one rank too high whenever 0.95n is integral — at n=20 it selects the
+    MAX, reporting a single spike as the p95."""
+    return sorted_samples[max(0, -(-95 * len(sorted_samples) // 100) - 1)]
+
+
 def measure_time_stats(func: Callable[[], Any], rounds: int,
                        warmup: int = 0
                        ) -> tuple[float, float, dict[str, float]]:
@@ -81,8 +88,7 @@ def measure_time_stats(func: Callable[[], Any], rounds: int,
     stats = {
         "min": deltas[0] if deltas else 0.0,
         "p50": deltas[len(deltas) // 2] if deltas else 0.0,
-        "p95": deltas[min(len(deltas) - 1, int(0.95 * len(deltas)))]
-        if deltas else 0.0,
+        "p95": p95_nearest_rank(deltas) if deltas else 0.0,
         "max": deltas[-1] if deltas else 0.0,
         # Raw sorted per-round seconds, so callers can pool distributions
         # across sweeps (e.g. bench.py's pooled-median headline estimator).

@@ -46,6 +46,14 @@ def test_csv_round_trip(tmp_path):
     assert len(lines) == 3
 
 
+def test_p95_nearest_rank():
+    from dip_benchmark_tpu.utils.timing import p95_nearest_rank
+    assert p95_nearest_rank(list(range(1, 21))) == 19   # NOT the max (20)
+    assert p95_nearest_rank(list(range(1, 101))) == 95
+    assert p95_nearest_rank(list(range(1, 11))) == 10   # ceil(9.5) = 10th
+    assert p95_nearest_rank([7]) == 7
+
+
 def test_csv_crlf_file_keeps_other_rows(tmp_path):
     """A CRLF results.csv (Windows checkout / copied asset) must not
     fail the header match and silently drop the other tools' rows."""

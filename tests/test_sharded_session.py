@@ -26,6 +26,18 @@ def session(image, request):
     return ShardedBenchmarkSession(image, n_devices=8, path=request.param)
 
 
+def test_sharded_session_rejects_bad_inputs():
+    """Input contract parity with BenchmarkSession: ValueError (not a
+    deep trace error / silent divergence) for non-uint8-HWC arrays and
+    images narrower than the 5x5 ops' mirrors."""
+    with pytest.raises(ValueError, match="uint8 HWC"):
+        ShardedBenchmarkSession(np.zeros((24, 40, 3), np.float32),
+                                n_devices=8)
+    with pytest.raises(ValueError, match="at least 5x5"):
+        ShardedBenchmarkSession(np.zeros((64, 2, 3), np.uint8),
+                                n_devices=8)
+
+
 def test_all_ops_bit_exact(session, image):
     ops = {op.csv_column: op
            for op in session.operations(include_pipeline=True)}
