@@ -48,18 +48,36 @@ def _load():
             _build_error = _build()
             if _build_error is not None:
                 return None
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.dip_monotonic_ns.restype = ctypes.c_uint64
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        ci = ctypes.c_int
-        for name in ("dip_copy", "dip_inversion", "dip_threshold",
-                     "dip_grayscale"):
-            getattr(lib, name).argtypes = [u8p, u8p, ci, ci, ci]
-        lib.dip_erosion.argtypes = [u8p, u8p, ci, ci, ci, u8p, ci, ci]
-        lib.dip_convolution.argtypes = [u8p, u8p, ci, ci, ci, i32p, ci, ci, ci]
+        try:
+            lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except (OSError, AttributeError):
+            # A corrupt/partial .so (interrupted g++, concurrent builder
+            # in another process) has a fresh mtime; rebuild once, and if
+            # the library still won't load, degrade to the NumPy oracle —
+            # available() must return False, never raise.
+            _build_error = _build()
+            if _build_error is not None:
+                return None
+            try:
+                lib = _bind(ctypes.CDLL(_LIB_PATH))
+            except (OSError, AttributeError) as e:
+                _build_error = f"load failed after rebuild: {e}"
+                return None
         _lib = lib
         return _lib
+
+
+def _bind(lib):
+    lib.dip_monotonic_ns.restype = ctypes.c_uint64
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    ci = ctypes.c_int
+    for name in ("dip_copy", "dip_inversion", "dip_threshold",
+                 "dip_grayscale"):
+        getattr(lib, name).argtypes = [u8p, u8p, ci, ci, ci]
+    lib.dip_erosion.argtypes = [u8p, u8p, ci, ci, ci, u8p, ci, ci]
+    lib.dip_convolution.argtypes = [u8p, u8p, ci, ci, ci, i32p, ci, ci, ci]
+    return lib
 
 
 def available() -> bool:

@@ -27,11 +27,10 @@ from .halo import exchange_row_halo
 
 
 def _mirror_cols(x: jnp.ndarray, px: int) -> jnp.ndarray:
-    if not px:
-        return x
-    left = jnp.flip(x[:, :, 1:px + 1], axis=2)
-    right = jnp.flip(x[:, :, -px:], axis=2)
-    return jnp.concatenate([left, x, right], axis=2)
+    # ONE copy of the SYCL-parity column mirror rule (dtype-agnostic):
+    # the f32 path's helper, applied with zero row padding.
+    from ..ops.xla_f32 import mirror_pad_chw
+    return mirror_pad_chw(x, 0, px)
 
 
 def _erode_local(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:

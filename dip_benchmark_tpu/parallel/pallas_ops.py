@@ -59,7 +59,7 @@ def build_sharded_pallas_ops(mesh: Mesh, height: int, width: int,
     """CSV-column-keyed jitted ops over the PADDED-RESIDENT sharded model:
     the global array is (C, n*Hp, Wp) with each shard's block its FULL
     padded local layout (assemble with utils.image.to_resident_planar).
-    height must divide the axis size. Returns the op dict and the
+    The mesh axis size must divide height. Returns the op dict and the
     per-shard layout (Hp/Wp = its padded_height/padded_width).
 
     Round-3 redesign: the previous lift assembled a fresh padded buffer
@@ -129,9 +129,9 @@ def sharded_pallas_chain(mesh: Mesh, cols: list[str], height: int,
     with each shard's block its full padded local layout at the CHAIN's
     halo (assemble with to_resident_planar(planar, layout, n)); per
     application only the chain-radius halo strips travel
-    (refresh_resident_halo), like build_sharded_pallas_ops. height must
-    divide the axis size and each shard must be taller than the chain
-    radius.
+    (refresh_resident_halo), like build_sharded_pallas_ops. The mesh
+    axis size must divide height and each shard must be taller than the
+    chain radius.
 
     batch=B serves a (B, C, n*Hp, Wp) RESIDENT stack over the full 2-D
     (data, space) mesh — batch shards over `data_axis`, rows over `axis`,

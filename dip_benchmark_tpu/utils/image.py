@@ -50,11 +50,14 @@ def check_uint8_hwc(image: np.ndarray) -> None:
     python -O strips asserts, and CLI callers rely on these firing;
     models/chain.py states the convention)."""
     if (getattr(image, "dtype", None) != np.uint8
-            or getattr(image, "ndim", 0) != 3):
+            or getattr(image, "ndim", 0) != 3
+            or image.shape[2] != 3):
+        # channels==3 matters too: grayscale's flat (H, W*3)%3 math and
+        # the RGB spec silently produce garbage on RGBA input.
         raise ValueError(
-            f"expected a uint8 HWC image array, got "
+            f"expected a uint8 HWC RGB image array (3 channels), got "
             f"dtype={getattr(image, 'dtype', type(image))} "
-            f"ndim={getattr(image, 'ndim', '?')}")
+            f"shape={getattr(image, 'shape', '?')}")
 
 
 def is_image_file(path: str) -> bool:
@@ -323,6 +326,10 @@ def from_resident_planar(resident: np.ndarray, layout: PlanarLayout,
     *lead, total, wp = resident.shape
     hp = layout.padded_height
     assert total == n * hp, (total, n, hp)
+    if h_loc != layout.height:
+        # h_loc is redundant with the layout; a mismatch would silently
+        # return wrongly-cropped rows.
+        raise ValueError(f"h_loc {h_loc} != layout.height {layout.height}")
     py, px = layout.pad_y, layout.pad_x
     stacked = resident.reshape(*lead, n, hp, wp)
     valid = stacked[..., py:py + h_loc, :].reshape(*lead, n * h_loc, wp)

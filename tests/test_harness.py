@@ -46,6 +46,14 @@ def test_csv_round_trip(tmp_path):
     assert len(lines) == 3
 
 
+def test_session_rejects_rgba():
+    """channels must be 3: grayscale's flat (H, W*3)%3 math would emit
+    garbage luma on an RGBA array instead of a clear error."""
+    from dip_benchmark_tpu.session import BenchmarkSession
+    with pytest.raises(ValueError, match="3 channels"):
+        BenchmarkSession(np.zeros((16, 16, 4), np.uint8))
+
+
 def test_p95_nearest_rank():
     from dip_benchmark_tpu.utils.timing import p95_nearest_rank
     assert p95_nearest_rank(list(range(1, 21))) == 19   # NOT the max (20)

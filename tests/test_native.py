@@ -24,6 +24,22 @@ def test_native_matches_oracle_edges(col, gradient_image):
         oracle.IMAGE_OPS[col](gradient_image), err_msg=col)
 
 
+def test_native_corrupt_so_degrades_not_raises(tmp_path, monkeypatch):
+    """A corrupt .so with a fresh mtime (interrupted g++ / concurrent
+    builder) must make available() return False after a failed rebuild —
+    never raise out of the oracle fallback."""
+    bad = tmp_path / "_dipnative.so"
+    bad.write_bytes(b"not an ELF")
+    monkeypatch.setattr(native, "_LIB_PATH", str(bad))
+    monkeypatch.setattr(native, "_SRC", __file__)  # older mtime than bad
+    monkeypatch.setattr(native, "_build",
+                        lambda: "rebuild disabled for test")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_error", None)
+    assert native.available() is False
+    assert "rebuild disabled" in native.build_error()
+
+
 def test_native_timer_monotonic():
     a = native.monotonic_ns()
     b = native.monotonic_ns()
