@@ -98,6 +98,9 @@ class BenchmarkRunner:
         if verify_against is not None and verify_ops is None:
             # Prefer the native C++ oracle (bit-identical to oracle.py,
             # tested) — NumPy is too slow for per-run checks at 8 Mpx.
+            # NOTE: this default is the UINT8 data model's oracle (bench.py
+            # relies on it); an f32-model caller must pass the session's
+            # oracle_ops() explicitly (the CLI does).
             from . import native
             verify_ops = (native.image_ops() if native.available()
                           else oracle.IMAGE_OPS)
@@ -142,10 +145,11 @@ class BenchmarkRunner:
                           f"p50 {d['p50'] * 1e6:8.1f} | "
                           f"p95 {d['p95'] * 1e6:8.1f} | "
                           f"max {d['max'] * 1e6:8.1f} |")
-        if outdir is None and verify_against is None:
+        if verify_against is None and (outdir is None or filename is None):
             return self.results  # nothing consumes outputs: skip the
             # fetch pass entirely (a D2H here would needlessly flip relay
-            # rigs into degraded dispatch mode for the caller's next steps)
+            # rigs into degraded dispatch mode for the caller's next
+            # steps); saving needs BOTH outdir and filename
         for op in self.operations:
             if not op.prefix:
                 continue
@@ -156,8 +160,17 @@ class BenchmarkRunner:
                            output)
             if verify_against is not None:
                 expected = verify_ops[op.csv_column](verify_against)
+                dontcare = None
+                if isinstance(expected, tuple):
+                    # (expected, dontcare-mask): the oracle exempts pixels
+                    # whose value legitimately depends on association
+                    # order (f32 threshold-boundary pixels through a step
+                    # discontinuity — oracle_f32.uint8_verify_ops).
+                    expected, dontcare = expected
                 delta = np.abs(output.astype(np.int32)
                                - expected.astype(np.int32))
+                if dontcare is not None:
+                    delta = np.where(dontcare, 0, delta)
                 if delta.max(initial=0) > verify_atol:
                     diff = int(np.sum(delta > verify_atol))
                     failures.append(

@@ -317,9 +317,22 @@ def chain_row_parts(cols: list[str], dtype: str = "uint8"):
         def seq_oracle(im, _cols=tuple(cols)):
             from .. import oracle_f32
             x = oracle_f32.from_uint8_hwc(im)
-            for c in _cols:
+            mask = None
+            for i, c in enumerate(_cols):
+                if c == "Threshold" and i > 0:
+                    # Threshold on a COMPUTED f32 value: pixels within
+                    # ulps of the 0.5 step may flip between association
+                    # orders — exempt them from the bit-level check
+                    # (oracle_f32.uint8_verify_ops has the full argument).
+                    m = oracle_f32.near_threshold_mask(x)
+                    mask = m if mask is None else (mask | m)
                 x = oracle_f32.IMAGE_OPS_F32[c](x)
-            return oracle_f32.to_uint8_hwc(x)
+            out = oracle_f32.to_uint8_hwc(x)
+            if mask is not None and mask.any():
+                ry, rx = chain_radius(list(_cols))
+                mask = oracle_f32.dilate_mask(mask, ry, rx)
+                return out, np.broadcast_to(mask[..., None], out.shape)
+            return out
     else:
         def seq_oracle(im, _cols=tuple(cols)):
             from .. import oracle
@@ -363,7 +376,14 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
         raise ValueError(
             f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
             f"({layout.pad_y}); shorten the chain or enlarge the halo")
-    band = layout.band
+    from ..utils import image as image_util
+    # Budget-capped like the flagship pipeline: multi-stage fused bodies
+    # hold more live VMEM than the single-op envelope model admits near
+    # the width boundary (fused_effective_band == layout.band at every
+    # published geometry). Per-channel non-batched chains window one
+    # channel; fused-channels paths window all three.
+    band = image_util.fused_effective_band(
+        layout, channels=3 if (gray_first or batch) else 1)
     # Packed pays off when any MAC stage can run at 2 rows/lane; a stage
     # with no packed form (erosion) runs as an unpack -> per-half i32 ->
     # repack island, costing ~4 cheap word-ops and nothing on the stage
@@ -420,7 +440,7 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
                 v = x_vmem[:, :].astype(jnp.int32)
                 out_ref[0] = run_stages(v).astype(jnp.uint8)
 
-        return _windowed_call(layout, hy, body)
+        return _windowed_call(layout, hy, body, band=band)
 
     if not gray_first:
         # Batched per-channel chain: fused-channels body, channels looped
@@ -436,8 +456,8 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
                 for ch in range(layout.channels):
                     v = x[ch].astype(jnp.int32)
                     write(ch, slice(None), run_stages(v).astype(jnp.uint8))
-        return _windowed_call(layout, hy, body, fused_channels=True,
-                              batch=batch)
+        return _windowed_call(layout, hy, body, band=band,
+                              fused_channels=True, batch=batch)
 
     # Grayscale-first: 3-channel window, luma once, single-plane chain,
     # replicate at the store (the dedicated 3-channel kernel below).
@@ -445,8 +465,9 @@ def make_fused_chain(layout: PlanarLayout, cols: list[str],
         def run_from_luma(luma):  # (band + 2*hy, :) i32, u8-valued
             return run_stages_packed(pack(luma))
         return _make_gray_chain(layout, hy, run_from_luma,
-                                packed_store=(ph, band), batch=batch)
-    return _make_gray_chain(layout, hy, run_stages, batch=batch)
+                                packed_store=(ph, band), batch=batch,
+                                band=band)
+    return _make_gray_chain(layout, hy, run_stages, batch=batch, band=band)
 
 
 def make_fused_chain_f32(layout: PlanarLayout, cols: list[str],
@@ -501,7 +522,7 @@ def make_fused_chain_f32(layout: PlanarLayout, cols: list[str],
 
 def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
                      packed_store: tuple[int, int] | None = None,
-                     batch: int = 0):
+                     batch: int = 0, band: int | None = None):
     """Cross-channel kernel via _windowed_call(fused_channels=True): DMA
     all 3 channels of the band window, compute the exact fixed-point luma,
     run the remaining stages once on the luma plane, write it to all 3
@@ -528,5 +549,5 @@ def _make_gray_chain(layout: PlanarLayout, hy: int, run_stages,
             for ch in range(3):
                 write(ch, slice(None), out)
 
-    return _windowed_call(layout, hy, body, fused_channels=True,
+    return _windowed_call(layout, hy, body, band=band, fused_channels=True,
                           batch=batch)

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import spec
-from ..ops import xla
 from ..ops.pallas.window import _shift, _windowed_call
+from ..utils import image as image_mod
 from ..utils.image import PlanarLayout
 
 
@@ -36,7 +36,11 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
     serving path (measured ~79 us/image either way, ~104 Gpx/s,
     benchmarks/tuning/batch_lab.py)."""
     assert layout.channels == 3
-    band = layout.band
+    # Budget-capped band: the 3-channel fused window + grayscale's i32
+    # temps exceed the single-op VMEM model near the width envelope
+    # (utils/image.fused_effective_band; == layout.band at published
+    # geometries).
+    band = image_mod.fused_effective_band(layout, channels=3)
     hy = 2  # erosion (1) + blur (1)
     assert layout.pad_y >= hy and layout.pad_x >= hy
     hb = band // 2
@@ -75,10 +79,5 @@ def make_fused_pipeline_pallas(layout: PlanarLayout, batch: int = 0):
             write(ch, slice(0, hb), lo)
             write(ch, slice(hb, band), hi)
 
-    return _windowed_call(layout, hy, body, fused_channels=True,
+    return _windowed_call(layout, hy, body, band=band, fused_channels=True,
                           batch=batch)
-
-
-def fused_pipeline_xla(image: jax.Array) -> jax.Array:
-    """X-path fused pipeline on uint8 HWC (XLA fuses the chain itself)."""
-    return xla.fused_pipeline(image)

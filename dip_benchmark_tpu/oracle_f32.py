@@ -133,3 +133,58 @@ IMAGE_OPS_F32 = {
         erosion(threshold(grayscale(x)), spec.SQUARE_MASK_3X3),
         spec.BLUR_3X3_INT, spec.BLUR_3X3_SHIFT),
 }
+
+
+# A computed f32 value within a few ulps of the 0.5 threshold step can
+# legitimately flip under XLA/Pallas reassociation of the producing MAC
+# (the model pins float-precision agreement, not bit equality through a
+# step discontinuity — convolution() docstring). 4 ulps at 0.5.
+THRESHOLD_ULP_SLACK = np.float32(2 ** -22)
+
+
+def near_threshold_mask(x: np.ndarray) -> np.ndarray:
+    """(C, H, W) f32 -> (H, W) bool: pixels where any channel sits within
+    THRESHOLD_ULP_SLACK of the 0.5 threshold step."""
+    return (np.abs(x - np.float32(0.5)) <= THRESHOLD_ULP_SLACK).any(axis=0)
+
+
+def dilate_mask(m: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """Box-dilate an (H, W) bool mask by (ry, rx) — the spatial spread
+    the stages after a threshold give a flipped pixel."""
+    if (ry == 0 and rx == 0) or not m.any():
+        return m
+    padded = np.pad(m, ((ry, ry), (rx, rx)), mode="edge")
+    h, w = m.shape
+    acc = np.zeros_like(m)
+    for dy in range(2 * ry + 1):
+        for dx in range(2 * rx + 1):
+            acc |= padded[dy:dy + h, dx:dx + w]
+    return acc
+
+
+def uint8_verify_ops() -> dict:
+    """uint8-HWC-in / uint8-HWC-out verify dict for the f32 data model —
+    the ONE copy all four session flavors share. Fused-Pipeline returns
+    (expected, dontcare-mask) when threshold-boundary pixels exist: its
+    Threshold stage runs on a COMPUTED luma, so a luma within ulps of the
+    0.5 step may flip {0,1} between this oracle's association order and
+    the device's, and erosion+blur then spread the flip (radius 2) —
+    differences there are not defects. Everywhere else the session's
+    atol-1 contract applies unchanged (harness unpacks the tuple)."""
+    def wrap(col):
+        fn = IMAGE_OPS_F32[col]
+        if col != "Fused-Pipeline":
+            return lambda im: to_uint8_hwc(fn(from_uint8_hwc(im)))
+
+        def pipeline(im):
+            x = from_uint8_hwc(im)
+            expected = to_uint8_hwc(fn(x))
+            mask = near_threshold_mask(grayscale(x)[:1])
+            if not mask.any():
+                return expected
+            mask = dilate_mask(mask, 2, 2)
+            return expected, np.broadcast_to(mask[..., None],
+                                             expected.shape)
+        return pipeline
+
+    return {col: wrap(col) for col in IMAGE_OPS_F32}

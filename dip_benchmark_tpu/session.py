@@ -385,12 +385,7 @@ class BenchmarkSession:
         harness output verification (uint8 HWC in, uint8 HWC expected out)."""
         if self.dtype == "float32":
             from . import oracle_f32
-
-            def wrap(col):
-                fn = oracle_f32.IMAGE_OPS_F32[col]
-                return lambda im: oracle_f32.to_uint8_hwc(
-                    fn(oracle_f32.from_uint8_hwc(im)))
-            base = {col: wrap(col) for col in oracle_f32.IMAGE_OPS_F32}
+            base = oracle_f32.uint8_verify_ops()
             if self._extra_oracles:  # chain rows' sequential f32 oracles
                 base = {**base, **self._extra_oracles}
             return base

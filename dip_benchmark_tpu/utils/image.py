@@ -177,6 +177,43 @@ def windowed_vmem_bytes(layout: PlanarLayout, itemsize: int = 1) -> int:
     return window + out + temps
 
 
+# Multi-stage fused kernels (flagship pipeline, fused chains) hold more
+# live VMEM than the single-op model above: fused_channels bodies DMA all
+# C channels of the band window and the grayscale stage keeps several
+# full-window i32 temps before packing halves the height.
+FUSED_TEMP_ROW_FACTOR = 6
+
+
+def fused_vmem_bytes(layout: PlanarLayout, band: int,
+                     itemsize: int = 1, channels: int = 3) -> int:
+    """Estimated per-grid-step VMEM working set of a fused multi-stage
+    kernel running at `band` (channels=3: fused_channels bodies; 1: the
+    per-channel chain path)."""
+    wp = layout.padded_width
+    blen = band + DMA_SLACK
+    window = 2 * channels * blen * wp * itemsize
+    out = channels * band * wp * itemsize
+    temps = FUSED_TEMP_ROW_FACTOR * (band + 2 * layout.pad_y) * wp * 4
+    return window + out + temps
+
+
+def fused_effective_band(layout: PlanarLayout, itemsize: int = 1,
+                         channels: int = 3) -> int:
+    """The band fused multi-stage kernels run at on this layout: the
+    largest 8-multiple divisor of banded_height (= layout.band at every
+    published geometry — the hardware-validated configs are unchanged)
+    whose modeled working set fits VMEM_BUDGET. Near-envelope widths that
+    make_layout admits on the single-op model could otherwise push the
+    C-channel fused window past the measured Mosaic acceptance boundary —
+    the same failure class conv5_effective_band caps for the 5x5 conv."""
+    for b in range(layout.band, 7, -8):
+        if layout.banded_height % b:
+            continue
+        if fused_vmem_bytes(layout, b, itemsize, channels) <= VMEM_BUDGET:
+            return b
+    return 8
+
+
 # The packed 5x5 convolution's preferred EFFECTIVE bands (largest first):
 # its unrolled body amortizes better at a band LARGER than the default 112
 # (ops/pallas/window.py, kernel_lab10: 198 -> ~176 us), so it overrides the

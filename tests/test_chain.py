@@ -248,3 +248,61 @@ def test_f32_chain_fuzz_random_sequences(rng):
         want = _seq_f32(img, cols)
         np.testing.assert_allclose(got.astype(int), want.astype(int),
                                    atol=1, err_msg=f"trial {trial}: {cols}")
+
+
+def test_fused_effective_band_published_geometry_unchanged():
+    """At the benchmark-image geometry the fused-kernel budget cap keeps
+    the layout band — hardware-validated configs are untouched."""
+    from dip_benchmark_tpu.utils import image as im
+    lo = im.make_layout(1024, 3504)
+    assert im.fused_effective_band(lo, channels=3) == lo.band
+    assert im.fused_effective_band(lo, channels=1) == lo.band
+
+
+def test_fused_effective_band_caps_and_fits(monkeypatch):
+    from dip_benchmark_tpu.utils import image as im
+    lo = im.make_layout(1024, 3504)
+    monkeypatch.setattr(
+        im, "VMEM_BUDGET", im.fused_vmem_bytes(lo, lo.band, channels=3) - 1)
+    b = im.fused_effective_band(lo, channels=3)
+    assert b < lo.band and lo.banded_height % b == 0 and b % 8 == 0
+    assert im.fused_vmem_bytes(lo, b, channels=3) <= im.VMEM_BUDGET
+
+
+@pytest.mark.parametrize("cols", [
+    ["Grayscale", "Threshold", "Erosion-3x3-Square"],  # gray-first packed
+    ["Inversion", "Convolution-3x3"],                  # per-channel
+])
+def test_chain_exact_at_capped_band(monkeypatch, cols):
+    """A budget-shrunk band must stay bit-exact (the cap changes tiling
+    only, not semantics)."""
+    from dip_benchmark_tpu.utils import image as im
+    rng = np.random.default_rng(67)
+    image = rng.integers(0, 256, size=(48, 200, 3), dtype=np.uint8)
+    layout = make_layout(48, 200)
+    full = im.fused_effective_band(layout, channels=3)
+    monkeypatch.setattr(
+        im, "VMEM_BUDGET",
+        im.fused_vmem_bytes(layout, full, channels=3) - 1)
+    assert im.fused_effective_band(layout, channels=3) < full
+    planar = jax.device_put(to_planar_padded(image, layout))
+    out = np.asarray(make_fused_chain(layout, cols)(planar))
+    np.testing.assert_array_equal(from_planar_padded(out, layout),
+                                  sequential(cols, image))
+
+
+def test_pipeline_exact_at_capped_band(monkeypatch):
+    from dip_benchmark_tpu.models.pipeline import make_fused_pipeline_pallas
+    from dip_benchmark_tpu.utils import image as im
+    rng = np.random.default_rng(68)
+    image = rng.integers(0, 256, size=(48, 200, 3), dtype=np.uint8)
+    layout = make_layout(48, 200)
+    full = im.fused_effective_band(layout, channels=3)
+    monkeypatch.setattr(
+        im, "VMEM_BUDGET",
+        im.fused_vmem_bytes(layout, full, channels=3) - 1)
+    assert im.fused_effective_band(layout, channels=3) < full
+    planar = jax.device_put(to_planar_padded(image, layout))
+    out = np.asarray(make_fused_pipeline_pallas(layout)(planar))
+    np.testing.assert_array_equal(from_planar_padded(out, layout),
+                                  oracle.fused_pipeline(image))

@@ -74,3 +74,57 @@ def test_f32_pallas_session_end_to_end(fundus_crop, tmp_path):
                          verify_ops=session.oracle_ops(),
                          verify_atol=session.verify_atol, quiet=True)
     assert len(results) == 15
+
+
+def test_f32_pipeline_threshold_boundary_mask():
+    """rgb (126,139,18) has f32 luma EXACTLY 0.5: the pipeline's
+    threshold on that computed value may flip under reassociation, so
+    the verify oracle must exempt it (dilated by the erosion+blur
+    radius) and leave every other pixel under the strict contract."""
+    from dip_benchmark_tpu import oracle_f32
+    ops = oracle_f32.uint8_verify_ops()
+    img = np.full((16, 20, 3), 40, np.uint8)
+    img[5, 7] = (126, 139, 18)
+    out = ops["Fused-Pipeline"](img)
+    assert isinstance(out, tuple)
+    expected, mask = out
+    assert expected.shape == mask.shape == img.shape
+    assert mask[5, 7].all() and mask[7, 9].all()   # pixel + radius-2 spread
+    assert not mask[5, 12].any()                   # outside the dilation
+    # no boundary pixels -> plain array, strict contract everywhere
+    assert not isinstance(ops["Fused-Pipeline"](
+        np.full((8, 8, 3), 40, np.uint8)), tuple)
+    # standalone Threshold keeps the plain form (raw-input compare, exact)
+    assert not isinstance(ops["Threshold"](img), tuple)
+
+
+def test_f32_chain_oracle_threshold_boundary_mask():
+    from dip_benchmark_tpu.models.chain import chain_row_parts
+    img = np.full((16, 20, 3), 40, np.uint8)
+    img[5, 7] = (126, 139, 18)
+    _, _, seq = chain_row_parts(
+        ["Grayscale", "Threshold", "Erosion-3x3-Square"], dtype="float32")
+    out = seq(img)
+    assert isinstance(out, tuple) and out[1][5, 7].all()
+    # Threshold FIRST thresholds raw input values (exact): no mask
+    _, _, seq2 = chain_row_parts(["Threshold", "Copy"], dtype="float32")
+    assert not isinstance(seq2(img), tuple)
+
+
+def test_harness_verify_respects_dontcare_mask():
+    from dip_benchmark_tpu.harness import BenchmarkRunner, Operation
+    img = np.zeros((4, 4, 3), np.uint8)
+    got = np.zeros((4, 4, 3), np.uint8)
+    got[1, 1] = 200
+    expected = np.zeros_like(got)
+    mask = np.zeros(got.shape, bool)
+    mask[1, 1] = True
+    op = Operation("X", "x", "Copy", lambda: None, lambda: got)
+    BenchmarkRunner([op], rounds=1).run(
+        verify_against=img, quiet=True,
+        verify_ops={"Copy": lambda im: (expected, mask)})  # masked: passes
+    with pytest.raises(AssertionError, match="Copy"):
+        BenchmarkRunner([op], rounds=1).run(
+            verify_against=img, quiet=True,
+            verify_ops={"Copy": lambda im: (expected,
+                                            np.zeros_like(mask))})
