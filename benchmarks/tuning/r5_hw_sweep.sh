@@ -75,7 +75,8 @@ if [ -n "$IMG" ]; then
     "$IMG" /tmp/out_r5s --rounds 20 --shards 1 --path pallas --verify \
     --mem-rounds 3
   run 2400 cli_verify_f32_r5.txt python benchmarks/tpu/benchmark.py \
-    "$IMG" /tmp/out_r5f --rounds 20 --dtype float32 --verify --mem-rounds 3
+    "$IMG" /tmp/out_r5f --rounds 20 --dtype float32 --verify --pipeline \
+    --mem-rounds 3
 fi
 
 run 2400 envelope_probe_r5.txt python benchmarks/tuning/envelope_probe.py

@@ -21,7 +21,7 @@ from ... import spec
 from ...utils.image import PlanarLayout
 from .common import GRAY_BAND, POINT_BAND, interpret_mode
 from .point import _copy_dma, _elementwise
-from .window import _divisor_band, _shift, _windowed_call
+from .window import _divisor_band, _shift, _windowed_call, mask_to_taps
 
 
 def _inversion_kernel(in_ref, out_ref):
@@ -65,6 +65,13 @@ def _make_erosion(layout: PlanarLayout, taps):
     rectangles factor into row-min then column-min, plus-shapes into the
     center column plus lane-shifted center row — same op-count savings."""
     hy = max(abs(dy) for dy, _ in taps)
+    hx = max(abs(dx) for _, dx in taps)
+    if hy > layout.pad_y or hx > layout.pad_x:
+        # Same halo bound as window._make_morphology (roll wrap safety).
+        raise ValueError(
+            f"structuring element radius (ry={hy}, rx={hx}) exceeds the "
+            f"layout halo (pad_y={layout.pad_y}, pad_x={layout.pad_x}); "
+            f"build the layout with halo={max(hy, hx)}")
     band = _divisor_band(layout, 2)  # f32 bands are 4x the bytes of u8
     from .window import _tap_structure
     structure = _tap_structure(tuple(taps))
@@ -184,47 +191,20 @@ def _make_blur(layout: PlanarLayout):
     return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32)
 
 
-def _make_pipeline(layout: PlanarLayout):
-    """Fused f32 pipeline; same structure as the uint8 flagship kernel."""
-    c, hp, wp = layout.shape
+def _make_pipeline(layout: PlanarLayout, batch: int = 0):
+    """Fused f32 pipeline on the shared fused-channels skeleton (ONE copy
+    of the double-buffered band-DMA plumbing for every fused kernel —
+    _windowed_call; make_fused_chain_f32 uses the identical combination).
+    Band is halved for the 4-byte windows AND budget-capped like the
+    uint8 flagship (utils/image.fused_effective_band): the 3-channel
+    fused window escapes the single-op envelope model near the width
+    boundary on this surface too. Gains the batch serving path for free."""
     from ...utils import image as image_mod
-    band = _divisor_band(layout, 2)
-    blen = band + image_mod.DMA_SLACK
-    nb = layout.banded_height // band
+    band = image_mod.fused_effective_band(
+        layout, itemsize=4, channels=3, start=_divisor_band(layout, 2))
     hy = 2
-    base = 8 - hy  # shape-preserving window scheme (ops/pallas/window.py)
 
-    def kernel(in_hbm, out_ref, x_vmem, sem):
-        i = pl.program_id(0)
-
-        def dma0(slot):
-            return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(0, blen - 8), :],
-                x_vmem.at[slot, :, pl.ds(8, blen - 8)], sem.at[slot])
-
-        def dma(slot, ii):  # ii >= 1
-            return pltpu.make_async_copy(
-                in_hbm.at[:, pl.ds(pl.multiple_of(ii * band - 8, 8),
-                                   blen), :],
-                x_vmem.at[slot], sem.at[slot])
-
-        @pl.when(i == 0)
-        def _():
-            dma0(0).start()
-
-        @pl.when(i + 1 < nb)
-        def _():
-            dma((i + 1) % 2, i + 1).start()
-
-        @pl.when(i == 0)
-        def _():
-            dma0(i % 2).wait()
-
-        @pl.when(i > 0)
-        def _():
-            dma(i % 2, i).wait()
-
-        x = x_vmem[i % 2][:, base:base + band + 2 * hy]
+    def body(x, write, *_):
         wr, wg, wb = (jnp.float32(w) for w in spec.GRAYSCALE_WEIGHTS_RGB)
         gray = wr * x[0] + wg * x[1] + wb * x[2]
         t = jnp.where(gray > jnp.float32(0.5), jnp.float32(1.0),
@@ -236,25 +216,11 @@ def _make_pipeline(layout: PlanarLayout):
         h = jnp.float32(0.5)
         aux = q * e[0:band] + h * e[1:band + 1] + q * e[2:band + 2]
         out = q * _shift(aux, -1) + h * aux + q * _shift(aux, 1)
-        out_ref[0] = out
-        out_ref[1] = out
-        out_ref[2] = out
+        for ch in range(3):
+            write(ch, slice(None), out)
 
-    @jax.jit
-    def op(planar: jax.Array) -> jax.Array:
-        return pl.pallas_call(
-            kernel,
-            grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((2, 3, blen, wp), jnp.float32),
-                            pltpu.SemaphoreType.DMA((2,))],
-            interpret=interpret_mode(),
-        )(planar)
-
-    return op
+    return _windowed_call(layout, hy, body, band=band, dtype=jnp.float32,
+                          fused_channels=True, batch=batch)
 
 
 def build_f32_ops(layout: PlanarLayout) -> dict:
@@ -266,11 +232,9 @@ def build_f32_ops(layout: PlanarLayout) -> dict:
                                   dtype=jnp.float32, band=POINT_BAND // 4),
         "Grayscale": _grayscale(layout),
         "Erosion-3x3-Cross": _make_erosion(
-            layout, tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                          if spec.CROSS_MASK_3X3[dy + 1, dx + 1])),
+            layout, mask_to_taps(spec.CROSS_MASK_3X3)),
         "Erosion-3x3-Square": _make_erosion(
-            layout, tuple((dy, dx) for dy in (-1, 0, 1)
-                          for dx in (-1, 0, 1))),
+            layout, mask_to_taps(spec.SQUARE_MASK_3X3)),
         "Erosion-1x3+3x1-Square": _make_erosion_sep(layout),
         "Convolution-3x3": _make_conv(layout, spec.BLUR_3X3_INT,
                                       spec.BLUR_3X3_SHIFT),

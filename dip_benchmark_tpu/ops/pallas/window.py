@@ -78,9 +78,15 @@ def _windowed_call(layout: PlanarLayout, hy: int, body,
       - outputs carry op-consistent mirror halos (an op applied to mirror
         rows IS the mirror of the op, in[p-j] == in[p+j] within the baked
         margin), so ops compose with halo validity shrinking by hy per
-        application.
-    Rows [banded_height, Hp) of the output are never written (junk slack,
-    outside every crop). The NEXT band's DMA is issued before waiting on
+        application — PROVIDED the accumulated radius stays within
+        banded_height - (pad_y + height) rows of bottom slack: rows
+        [banded_height, Hp) of the output are never written (junk,
+        outside every crop), so once the shrinking validity frontier
+        reaches them, further composed applications read junk into their
+        bottom rows. The exec-timing chain doesn't care (outputs are
+        discarded); the resident models never rely on this (they
+        re-mirror halos from valid rows every application:
+        parallel/halo.refresh_resident_halo, models/wide.refresh_cols). The NEXT band's DMA is issued before waiting on
     the current one, so the HBM read pipeline overlaps compute (Pallas
     already double-buffers the output writes).
     """
@@ -274,6 +280,15 @@ def _make_morphology(layout: PlanarLayout, taps: tuple[tuple[int, int], ...],
     """Shared structure-aware builder: reduce is jnp.minimum (erosion) or
     jnp.maximum (dilation)."""
     hy = max(abs(dy) for dy, _ in taps)
+    hx = max(abs(dx) for _, dx in taps)
+    if hy > layout.pad_y or hx > layout.pad_x:
+        # _shift's full-width lane roll only stays outside the valid
+        # region when taps fit the baked halo; a wider element would
+        # silently corrupt valid edge columns/rows.
+        raise ValueError(
+            f"structuring element radius (ry={hy}, rx={hx}) exceeds the "
+            f"layout halo (pad_y={layout.pad_y}, pad_x={layout.pad_x}); "
+            f"build the layout with halo={max(hy, hx)}")
     band = layout.band
     structure = _tap_structure(taps)
     dys = sorted({dy for dy, _ in taps})

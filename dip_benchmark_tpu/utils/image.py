@@ -198,15 +198,17 @@ def fused_vmem_bytes(layout: PlanarLayout, band: int,
 
 
 def fused_effective_band(layout: PlanarLayout, itemsize: int = 1,
-                         channels: int = 3) -> int:
+                         channels: int = 3, start: int | None = None) -> int:
     """The band fused multi-stage kernels run at on this layout: the
     largest 8-multiple divisor of banded_height (= layout.band at every
     published geometry — the hardware-validated configs are unchanged)
     whose modeled working set fits VMEM_BUDGET. Near-envelope widths that
     make_layout admits on the single-op model could otherwise push the
     C-channel fused window past the measured Mosaic acceptance boundary —
-    the same failure class conv5_effective_band caps for the 5x5 conv."""
-    for b in range(layout.band, 7, -8):
+    the same failure class conv5_effective_band caps for the 5x5 conv.
+    start: begin the search below layout.band (the f32 pipeline starts at
+    its halved _divisor_band pick)."""
+    for b in range(layout.band if start is None else start, 7, -8):
         if layout.banded_height % b:
             continue
         if fused_vmem_bytes(layout, b, itemsize, channels) <= VMEM_BUDGET:

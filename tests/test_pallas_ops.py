@@ -198,3 +198,17 @@ def test_factor_rank1_int():
     m = np.outer([0, 1, 2], [3, 0, 1])
     u, v = factor_rank1_int(m)
     assert (np.outer(u, v) == m).all()
+
+
+def test_morphology_rejects_element_wider_than_halo():
+    """A structuring element wider than the baked halo would silently
+    corrupt valid edge columns via lane-roll wrap — both paths refuse."""
+    from dip_benchmark_tpu.ops.pallas import f32 as f32_ops
+    from dip_benchmark_tpu.ops.pallas.window import make_erosion, mask_to_taps
+    from dip_benchmark_tpu.utils.image import make_layout
+    lo = make_layout(32, 64)
+    wide_row = mask_to_taps(np.ones((1, 7), bool))
+    with pytest.raises(ValueError, match="exceeds the layout halo"):
+        make_erosion(lo, wide_row)
+    with pytest.raises(ValueError, match="exceeds the layout halo"):
+        f32_ops._make_erosion(make_layout(32, 64, itemsize=4), wide_row)
