@@ -93,7 +93,7 @@ def build_parser() -> ArgumentParser:
                              "mode: the 'once' column then shows warm "
                              "dispatch, not compile — unlike the reference "
                              "contract, so off by default)")
-    parser.add_argument("--chained", type=int, default=0, metavar="K",
+    parser.add_argument("--chained", type=int, default=None, metavar="K",
                         help="Measurement-only mode: time K in-graph chained "
                              "applications per round and report "
                              "per-application time (any path/model; "
@@ -180,8 +180,19 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    # Pure-flag validation BEFORE the device gate and any compiles — a
+    # known-invalid invocation must not burn minutes of warm/trace first.
     if args.exec_table and args.chained:
         print("--exec is incompatible with --chained", file=sys.stderr)
+        return 2
+    if args.fuse and args.chained:
+        print("--fuse is incompatible with --chained", file=sys.stderr)
+        return 2
+    if args.chained is not None and args.chained < 1:
+        print(f"--chained needs K >= 1, got {args.chained}", file=sys.stderr)
+        return 2
+    if args.shards < 0:
+        print(f"--shards needs N >= 0, got {args.shards}", file=sys.stderr)
         return 2
 
     try:
@@ -205,11 +216,6 @@ def main(argv: list[str] | None = None) -> int:
         # deliver it the gated way, not as a raw traceback.
         print(f"benchmark: {e}", file=sys.stderr)
         return 2
-    if args.warm:
-        # Both session flavors: aot.warm compiles the sharded session's
-        # shard_map programs the same way (mesh captured in the lowering).
-        from .runtime.aot import warm
-        warm(session)
     if args.chained:
         # ShardedBenchmarkSession has no chained surface; the other three
         # flavors (single-buffer, wide, sharded-wide) all do.
@@ -223,15 +229,24 @@ def main(argv: list[str] | None = None) -> int:
     else:
         table = session.operations(include_pipeline=args.pipeline)
     if args.fuse:
-        if args.chained:
-            print("--fuse is incompatible with --chained", file=sys.stderr)
-            return 2
         try:
             table.append(session.chain_operation(
                 [c.strip() for c in args.fuse.split(",") if c.strip()]))
         except (ValueError, AssertionError) as e:
             print(f"--fuse: {e}", file=sys.stderr)
             return 2
+    if args.warm:
+        # Warm the PROGRAMS the run will actually time — the base table,
+        # the --chained fori_loop wrappers, and the --fuse chain alike
+        # (aot.warm compiles only the base ops, which is not what a
+        # chained/fused run times): one untimed application per op, so
+        # the 'once' column shows warm dispatch, not compile. Download is
+        # skipped — its first D2H flips relay rigs into degraded dispatch
+        # mode before any timing (harness orders it last for the same
+        # reason), and a D2H compiles nothing anyway.
+        for op in table:
+            if not op.downloads:
+                op.run()
     rounds = (args.rounds if args.rounds is not None
               else args.rounds_pos if args.rounds_pos is not None
               else 10000)

@@ -510,10 +510,12 @@ class WideBenchmarkSession:
     # -- table -------------------------------------------------------------
 
     def _make_run(self, fn):
+        from ..session import aot_wrap
         src = self.strips_dev
+        op = aot_wrap(self, fn)
 
         def run():
-            self._sample = jax.block_until_ready(fn(src))
+            self._sample = jax.block_until_ready(op(src))
         return run
 
     def _fetch(self) -> np.ndarray:

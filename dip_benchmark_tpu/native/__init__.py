@@ -99,8 +99,15 @@ def monotonic_ns() -> int:
 
 def _run(name: str, image: np.ndarray, *extra) -> np.ndarray:
     lib = _load()
-    assert lib is not None, _build_error
-    assert image.dtype == np.uint8 and image.ndim == 3
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] != 3:
+        # ValueError, not assert (python -O strips asserts) — and the C
+        # kernels hard-code 3 channels (dip_grayscale reads px[1]/px[2]),
+        # so anything else would be a heap over-read, not a wrong answer.
+        raise ValueError(
+            f"native ops take uint8 HWC RGB arrays, got "
+            f"dtype={image.dtype} shape={image.shape}")
     image = np.ascontiguousarray(image)
     out = np.empty_like(image)
     h, w, c = image.shape

@@ -12,9 +12,11 @@
 //     oracle is too slow for per-run verification.
 //
 // Semantics are the spec of dip_benchmark_tpu/spec.py exactly:
-//   mirror borders (low: -i, high: 2n-i-1), Rec.709 f32 grayscale with the
-//   SYCL accumulation order + truncating cast, >127 threshold, min-erosion,
-//   integer-exact convolution with round-half-up.
+//   mirror borders (low: -i, high: 2n-i-1), Rec.709 grayscale in the
+//   spec's EXACT 16-bit integer fixed point (see dip_grayscale below —
+//   NOT the reference's f32 accumulate, which drifts under FMA
+//   contraction), >127 threshold, min-erosion, integer-exact convolution
+//   with round-half-up.
 //
 // Plain C ABI for ctypes binding; OpenMP row-parallel when available.
 
@@ -65,6 +67,8 @@ void dip_threshold(const uint8_t* in, uint8_t* out, int h, int w, int c) {
 // bit-identical on every backend regardless of FMA contraction, unlike the
 // reference's float32 path [sycl/benchmark.cpp:71-91]. RGB HWC in/out.
 void dip_grayscale(const uint8_t* in, uint8_t* out, int h, int w, int c) {
+    if (c < 3) return;  // luma reads px[0..2]; fewer channels would be
+                        // a heap over-read (binding enforces c == 3 too)
     const long long npx = static_cast<long long>(h) * w;
 #pragma omp parallel for
     for (long long p = 0; p < npx; ++p) {
@@ -104,7 +108,9 @@ void dip_erosion(const uint8_t* in, uint8_t* out, int h, int w, int c,
 // binomial weights are exact binary fractions. [sycl/benchmark.cpp:159-202]
 void dip_convolution(const uint8_t* in, uint8_t* out, int h, int w, int c,
                      const int32_t* mask, int mh, int mw, int shift) {
-    const int32_t half = 1 << (shift - 1);
+    // shift == 0 (unit weights, no normalization): half would be
+    // 1 << -1, undefined behavior — round-half-up of /1 is a no-op.
+    const int32_t half = shift > 0 ? (1 << (shift - 1)) : 0;
 #pragma omp parallel for
     for (long long y = 0; y < h; ++y) {
         for (int x = 0; x < w; ++x) {

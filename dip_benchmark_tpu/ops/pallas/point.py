@@ -61,8 +61,12 @@ def _inversion_kernel(in_ref, out_ref):
 
 # The SWAR formulation below encodes "> 127" as the byte's bit 7 — it is
 # only correct for this exact threshold. Fail loudly if the spec constant
-# ever moves (every other path follows the constant symbolically).
-assert spec.THRESHOLD_VALUE == 127 and spec.THRESHOLD_MAX == 255
+# ever moves (every other path follows the constant symbolically; a
+# ValueError, not assert — python -O strips asserts).
+if spec.THRESHOLD_VALUE != 127 or spec.THRESHOLD_MAX != 255:
+    raise ValueError(
+        "ops/pallas/point.py's SWAR threshold encodes '>127 -> 255' as "
+        "bit 7; rewrite it before changing spec.THRESHOLD_VALUE/MAX")
 
 
 def _threshold_kernel(in_ref, out_ref):

@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import spec
 from ..harness import Operation
-from ..session import AotOp
+from ..session import aot_wrap
 from .halo import make_mesh
 from .ops import build_sharded_ops
 
@@ -151,7 +151,7 @@ class ShardedBenchmarkSession:
 
     def _make_run(self, fn):
         src = self.planar_dev
-        op = AotOp(fn) if hasattr(fn, "lower") else fn
+        op = aot_wrap(self, fn)
 
         def run():
             self._sample = _sync(op(src))
@@ -236,7 +236,7 @@ class ShardedBenchmarkSession:
             to_resident_planar(planar, layout, n), self.sharding))
         # expose to execution_table (sharded chains are shape-preserving)
         self._chain_exec = (fn, dev)
-        op = AotOp(fn) if hasattr(fn, "lower") else fn
+        op = aot_wrap(self, fn)
         h_loc = planar.shape[1] // n
 
         def run():

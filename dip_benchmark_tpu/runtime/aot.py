@@ -45,11 +45,22 @@ def warm(session) -> dict:
     the single-device session and the sharded session (the shard_map
     programs are jitted, so `.lower().compile()` applies unchanged; the
     compile captures the mesh + sharding of the resident buffer).
-    Returns {csv_column: jax.stages.Compiled}."""
+    Returns {csv_column: jax.stages.Compiled}. The executables are also
+    SEEDED into the session's AotOp cache (session.aot_wrap), so the
+    benchmark table's first timed call dispatches them directly instead
+    of re-lowering and re-compiling what was just built."""
+    from ..session import AotOp
     ops, src = _table(session)
+    cache = getattr(session, "_aot_ops", None)
+    if cache is None:
+        cache = session._aot_ops = {}
     compiled = {}
     for col, fn in ops.items():
         compiled[col] = fn.lower(src).compile()
+        if hasattr(fn, "lower"):
+            warmed = AotOp(fn)
+            warmed._compiled = compiled[col]
+            cache[id(fn)] = warmed
     return compiled
 
 

@@ -52,3 +52,17 @@ def test_export_sharded_round_trip(fundus_crop, tmp_path):
     out = np.asarray(fn(session.planar_dev))
     ref = np.asarray(session._ops["Inversion"](session.planar_dev))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_warm_seeds_the_timed_table(small_image):
+    """warm()'s executables must be what the table dispatches — without
+    seeding, the first timed call re-lowers and re-compiles."""
+    from dip_benchmark_tpu.runtime.aot import warm
+    from dip_benchmark_tpu.session import BenchmarkSession
+    s = BenchmarkSession(small_image, path="xla")
+    warm(s)
+    assert s._aot_ops and all(a._compiled is not None
+                              for a in s._aot_ops.values())
+    ops = s.operations()
+    # and the run closures resolve to those same pre-compiled handles
+    ops[2].run()  # Copy: executes through the seeded AotOp without error

@@ -292,3 +292,32 @@ def test_chained_mode_all_surfaces(small_image):
             assert all(op.time_scale == 2 for op in table)
             table[0].run()
             table[-1].run()
+
+
+def test_cli_rejects_bad_knob_values(tmp_path):
+    """Known-invalid invocations exit 2 BEFORE the device gate or any
+    compile work (negative K/N previously produced negative times or a
+    raw traceback; fuse+chained was checked only after minutes of warm)."""
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.utils.image import save_image
+    img = tmp_path / "t.png"
+    save_image(str(img), np.zeros((16, 16, 3), np.uint8))
+    base = [str(img), str(tmp_path / "out"), "--backend", "cpu"]
+    assert cli.main(base + ["--chained", "0"]) == 2
+    assert cli.main(base + ["--chained", "-5"]) == 2
+    assert cli.main(base + ["--shards", "-2"]) == 2
+    assert cli.main(base + ["--fuse", "Grayscale,Threshold",
+                            "--chained", "2"]) == 2
+
+
+def test_cli_warm_covers_chained_programs(tmp_path):
+    """--warm + --chained must pre-run the actual chained programs (the
+    table the run times), not just the base ops."""
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.utils.image import save_image
+    rng = np.random.default_rng(77)
+    img = tmp_path / "t.png"
+    save_image(str(img), rng.integers(0, 256, (16, 16, 3), np.uint8))
+    rc = cli.main([str(img), str(tmp_path / "out"), "--backend", "cpu",
+                   "--rounds", "1", "--warm", "--chained", "2"])
+    assert rc == 0

@@ -44,3 +44,15 @@ def test_native_timer_monotonic():
     a = native.monotonic_ns()
     b = native.monotonic_ns()
     assert b >= a > 0
+
+
+def test_native_rejects_non_rgb():
+    """The C kernels hard-code 3 channels (grayscale reads px[1]/px[2]);
+    the binding must refuse RGBA/gray arrays with a ValueError, not pass
+    them through to a heap over-read."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError, match="RGB"):
+        native.grayscale(np.zeros((8, 8, 4), np.uint8))
+    with pytest.raises(ValueError, match="RGB"):
+        native.copy(np.zeros((8, 8), np.uint8).reshape(8, 4, 2))
