@@ -44,9 +44,11 @@ IMG=${DIP_TPU_IMAGE:-/root/reference/assets/fundus.jpg}
 # skipped on re-invocation once it has completed rc=0, so a sweep cut off
 # by a mid-window tunnel death can simply be re-run (the watcher does this
 # automatically) and picks up where it left off.
+STEPS=()  # this invocation's own steps — the exit code counts ONLY these
 run() {  # run <timeout_s> <logname> <cmd...>
   local t=$1 log=$2; shift 2
   local rcfile="$ART/$log.rc"
+  STEPS+=("$rcfile")
   if [ -f "$rcfile" ] && [ "$(cat "$rcfile")" = "0" ]; then
     echo "=== $log: already done rc=0, skipping ==="
     return 0
@@ -101,6 +103,9 @@ fi
 
 # 9. Regenerate every published PNG from the updated CSV + the fresh bench
 # JSON (exec chart needs per-op exec_us: last JSON line of bench_r5_dry.txt).
+# Drop any stale extraction first — a previous window's JSON must not
+# silently feed this round's exec chart when the bench step yielded none.
+rm -f /tmp/bench_r5.json
 python - <<'EOF'
 import json, re
 lines = open("docs/artifacts/bench_r5_dry.txt").read().splitlines()
@@ -126,8 +131,11 @@ else
 fi
 # Exit code = number of failed steps, so the watcher can tell a complete
 # sweep (0 -> stop watching) from one cut off mid-window (re-run resumes).
+# Count ONLY this invocation's steps — a stale/foreign .rc in the shared
+# artifacts dir (renamed step, other script) must not inflate the count
+# and wedge the watcher in an endless relaunch.
 bad=0
-for f in "$ART"/*.rc; do
+for f in "${STEPS[@]}"; do
   [ -f "$f" ] || continue
   [ "$(cat "$f")" = "0" ] || { bad=$((bad+1)); echo "FAILED step: $f ($(cat "$f"))"; }
 done

@@ -15,6 +15,12 @@ set -u
 cd "$(dirname "$0")/../.." || exit 1
 mkdir -p docs/artifacts
 LOG=docs/artifacts/tpu_watch_r5.log
+# A step failing DETERMINISTICALLY (drift canary, bit-check mismatch)
+# would otherwise re-run on every probe cycle forever — bound the number
+# of sweep launches; resumability means each launch only re-runs the
+# not-yet-green steps.
+MAX_SWEEPS=${DIP_TPU_WATCH_MAX_SWEEPS:-6}
+launches=0
 echo "$(date -u +%FT%TZ) watcher start" | tee -a "$LOG"
 while true; do
   echo "$(date -u +%FT%TZ) probe..." >> "$LOG"
@@ -27,11 +33,17 @@ print('TPU up:', ds)
     echo "$(date -u +%FT%TZ) TPU UP — launching r5 sweep" | tee -a "$LOG"
     bash benchmarks/tuning/r5_hw_sweep.sh 2>&1 | tee -a docs/artifacts/r5_sweep_console.txt
     rc=${PIPESTATUS[0]}
-    echo "$(date -u +%FT%TZ) sweep finished ($rc failed steps)" | tee -a "$LOG"
+    launches=$((launches+1))
+    echo "$(date -u +%FT%TZ) sweep finished ($rc failed steps, launch $launches/$MAX_SWEEPS)" | tee -a "$LOG"
     # A fully-green sweep ends the watch; a sweep cut off mid-window
     # (tunnel died again) resumes watching — the sweep is resumable and
-    # skips already-completed steps on the next recovery.
+    # skips already-completed steps on the next recovery. Deterministic
+    # failures stop at the launch bound instead of churning the rig.
     [ "$rc" -eq 0 ] && break
+    if [ "$launches" -ge "$MAX_SWEEPS" ]; then
+      echo "$(date -u +%FT%TZ) giving up after $launches launches with failures — inspect the failed steps' .rc/logs" | tee -a "$LOG"
+      break
+    fi
   fi
   echo "$(date -u +%FT%TZ) still down; sleep 240" >> "$LOG"
   sleep 240

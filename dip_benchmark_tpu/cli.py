@@ -224,10 +224,19 @@ def main(argv: list[str] | None = None) -> int:
                   "--shards only the sharded-wide route supports it)",
                   file=sys.stderr)
             return 2
-        table = session.chained_operations(
-            args.chained, include_pipeline=args.pipeline)
+        try:
+            table = session.chained_operations(
+                args.chained, include_pipeline=args.pipeline)
+        except ValueError as e:
+            # e.g. the fused pipeline's VMEM-envelope refusal
+            print(f"benchmark: {e}", file=sys.stderr)
+            return 2
     else:
-        table = session.operations(include_pipeline=args.pipeline)
+        try:
+            table = session.operations(include_pipeline=args.pipeline)
+        except ValueError as e:
+            print(f"benchmark: {e}", file=sys.stderr)
+            return 2
     if args.fuse:
         try:
             table.append(session.chain_operation(
@@ -269,7 +278,15 @@ def main(argv: list[str] | None = None) -> int:
         execute()
 
     if args.csv:
-        runner.write_csv(args.csv, tool=args.tool or f"TPU-{args.path}")
+        try:
+            runner.write_csv(args.csv,
+                             tool=args.tool or f"TPU-{args.path}")
+        except ValueError as e:
+            # write_csv refuses to rewrite a foreign-schema file; the
+            # measured rows are already on stdout — deliver the refusal
+            # the gated way, not as a raw traceback.
+            print(f"--csv: {e}", file=sys.stderr)
+            return 2
 
     # Execution-time table LAST: its forced-completion D2H flips relay rigs
     # into a degraded dispatch mode that would poison regular measurements.

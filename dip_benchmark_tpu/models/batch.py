@@ -232,12 +232,22 @@ def process_directory(indir: str, outdir: str,
             chunk = items[i:i + batch_size]
             # Decode per chunk: memory stays ~2 chunks (this stack + the
             # pending fetch), and decode overlaps the previous chunk's
-            # device execution just like the encode side.
-            stack = np.stack([load_image(p) for _, p in chunk])
-            token = _dispatch_batch(stack, csv_column, mesh=mesh)
-            if pending is not None:
-                drain(pending)
-            pending = (chunk, token)
+            # device execution just like the encode side. The header
+            # probe can disagree with the decoded shape (cv2 applies
+            # EXIF orientation; the header doesn't), so regroup by the
+            # ACTUAL decoded shape before stacking — a transposed
+            # portrait shot becomes its own sub-batch instead of a
+            # np.stack crash.
+            decoded: dict[tuple, list[tuple[str, np.ndarray]]] = {}
+            for name, p in chunk:
+                im = load_image(p)
+                decoded.setdefault(im.shape, []).append((name, im))
+            for group in decoded.values():
+                stack = np.stack([im for _, im in group])
+                token = _dispatch_batch(stack, csv_column, mesh=mesh)
+                if pending is not None:
+                    drain(pending)
+                pending = (group, token)
     if pending is not None:
         drain(pending)
     return written

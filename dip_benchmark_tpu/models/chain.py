@@ -487,7 +487,14 @@ def make_fused_chain_f32(layout: PlanarLayout, cols: list[str],
             f"chain radius (ry={hy}, rx={hx}) exceeds the layout halo "
             f"({layout.pad_y}); shorten the chain or enlarge the halo")
     from ..ops.pallas.window import _divisor_band
-    band = _divisor_band(layout, 2)  # f32 windows are 4x the bytes of u8
+    from ..utils import image as image_util
+    # Halved for the 4-byte windows AND budget-capped, exactly like the
+    # f32 flagship pipeline (ops/pallas/f32._make_pipeline) and the uint8
+    # chain above — multi-stage fused bodies escape the single-op
+    # envelope model near the width boundary.
+    band = image_util.fused_effective_band(
+        layout, itemsize=4, channels=3 if (gray_first or batch) else 1,
+        start=_divisor_band(layout, 2))
 
     def run_stages(v):
         rows = band + 2 * hy

@@ -404,6 +404,12 @@ def apply_streaming(image: np.ndarray, col: str,
     f32 = dtype == "float32"
     h, w, _ = image.shape
     block_rows = min(block_rows, h)
+    # Every block carries its own strip plan, and make_wide_layout's
+    # mirror guard requires halo+1 rows — silently raise tiny block
+    # heights to that minimum (halos are baked from the FULL image
+    # either way, so the stitched result is unchanged; only the block
+    # partitioning moves).
+    block_rows = max(block_rows, min(h, image_mod.DEFAULT_HALO + 1))
     plans: dict[int, tuple[WideLayout, dict]] = {}
 
     def plan(hb: int):

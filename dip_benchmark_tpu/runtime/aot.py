@@ -57,10 +57,9 @@ def warm(session) -> dict:
     compiled = {}
     for col, fn in ops.items():
         compiled[col] = fn.lower(src).compile()
-        if hasattr(fn, "lower"):
-            warmed = AotOp(fn)
-            warmed._compiled = compiled[col]
-            cache[id(fn)] = warmed
+        warmed = AotOp(fn)
+        warmed._compiled = compiled[col]
+        cache[id(fn)] = warmed
     return compiled
 
 

@@ -213,7 +213,17 @@ def fused_effective_band(layout: PlanarLayout, itemsize: int = 1,
             continue
         if fused_vmem_bytes(layout, b, itemsize, channels) <= VMEM_BUDGET:
             return b
-    return 8
+    # Even the minimum band models over budget (reachable for wide f32
+    # fused kernels: fit_band admits the single-op model, but the
+    # C-channel multi-stage window is ~4x the bytes). Refuse with remedy
+    # text rather than handing Mosaic a kernel the measured acceptance
+    # boundary says it will reject.
+    need = fused_vmem_bytes(layout, 8, itemsize, channels) / 2**20
+    raise ValueError(
+        f"fused kernel at width {layout.width} (itemsize {itemsize}) is "
+        f"outside the VMEM envelope: even an 8-row band models "
+        f"{need:.1f} MiB of {VMEM_BUDGET / 2**20:.1f} MiB — run the ops "
+        "unfused, or use a narrower image")
 
 
 # The packed 5x5 convolution's preferred EFFECTIVE bands (largest first):

@@ -215,3 +215,33 @@ def test_process_directory_sharded_chain(rng, tmp_path):
             want = oracle.IMAGE_OPS[c](want)
         np.testing.assert_array_equal(load_image(str(outdir / name)), want,
                                       err_msg=name)
+
+
+def test_process_directory_header_decode_shape_mismatch(rng, tmp_path,
+                                                        monkeypatch):
+    """cv2 applies EXIF orientation at decode; the PIL header probe does
+    not — a portrait shot can decode transposed vs its group key. The
+    chunk regroups by DECODED shape instead of crashing np.stack
+    (round-5 review)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    a = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    save_image(str(indir / "a.png"), a)
+    save_image(str(indir / "b.png"), b)
+    real = batch.load_image
+    bt = np.ascontiguousarray(b.transpose(1, 0, 2))
+
+    def fake(path):
+        # the decoder applied an orientation the header probe didn't see
+        return bt if path.endswith("b.png") else real(path)
+
+    monkeypatch.setattr(batch, "load_image", fake)
+    written = batch.process_directory(str(indir), str(outdir), "Inversion",
+                                      batch_size=2)
+    assert len(written) == 2
+    np.testing.assert_array_equal(load_image(str(outdir / "a.png")),
+                                  oracle.inversion(a))
+    np.testing.assert_array_equal(load_image(str(outdir / "b.png")),
+                                  oracle.inversion(bt))

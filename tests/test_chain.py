@@ -306,3 +306,47 @@ def test_pipeline_exact_at_capped_band(monkeypatch):
     out = np.asarray(make_fused_pipeline_pallas(layout)(planar))
     np.testing.assert_array_equal(from_planar_padded(out, layout),
                                   oracle.fused_pipeline(image))
+
+
+def test_f32_chain_band_budget_capped(monkeypatch, small_image):
+    """Round-5 review: the f32 fused chain budget-caps its halved band
+    like the f32 pipeline and the uint8 chain (a wide f32 fused body
+    otherwise models past the measured Mosaic acceptance boundary), and
+    a capped band stays exact."""
+    from dip_benchmark_tpu import oracle_f32
+    from dip_benchmark_tpu.models.chain import make_fused_chain_f32
+    from dip_benchmark_tpu.ops.pallas.window import _divisor_band
+    from dip_benchmark_tpu.utils import image as im
+    from dip_benchmark_tpu.utils.image import (make_layout,
+                                               to_planar_padded_f32)
+    h, w, _ = small_image.shape
+    layout = make_layout(h, w)
+    start = _divisor_band(layout, 2)
+    cols = ["Grayscale", "Threshold", "Erosion-3x3-Square"]
+    monkeypatch.setattr(
+        im, "VMEM_BUDGET",
+        im.fused_vmem_bytes(layout, start, itemsize=4, channels=3) - 1)
+    b = im.fused_effective_band(layout, itemsize=4, channels=3,
+                                start=start)
+    assert b < start and layout.banded_height % b == 0
+    fn = make_fused_chain_f32(layout, cols)
+    out = np.asarray(fn(jax.device_put(
+        to_planar_padded_f32(small_image, layout))))
+    py, px = layout.pad_y, layout.pad_x
+    got = oracle_f32.to_uint8_hwc(out[:, py:py + h, px:px + w])
+    np.testing.assert_allclose(got.astype(int),
+                               _seq_f32(small_image, cols).astype(int),
+                               atol=1)
+
+
+def test_fused_effective_band_refuses_when_min_band_over_budget(monkeypatch):
+    """When even the 8-row band models over budget, refuse with remedy
+    text instead of silently handing Mosaic an over-budget body
+    (round-5 review)."""
+    from dip_benchmark_tpu.utils import image as im
+    lo = im.make_layout(1024, 3504)
+    monkeypatch.setattr(
+        im, "VMEM_BUDGET",
+        im.fused_vmem_bytes(lo, 8, itemsize=4, channels=3) - 1)
+    with pytest.raises(ValueError, match="outside the VMEM envelope"):
+        im.fused_effective_band(lo, itemsize=4, channels=3)

@@ -321,3 +321,20 @@ def test_cli_warm_covers_chained_programs(tmp_path):
     rc = cli.main([str(img), str(tmp_path / "out"), "--backend", "cpu",
                    "--rounds", "1", "--warm", "--chained", "2"])
     assert rc == 0
+
+
+def test_cli_csv_foreign_header_exits_gated(tmp_path):
+    """write_csv's foreign-schema refusal reaches the user as the gated
+    exit-2 message, not a raw traceback, and leaves the file untouched
+    (round-5 review)."""
+    from dip_benchmark_tpu import cli
+    from dip_benchmark_tpu.utils.image import save_image
+    img = tmp_path / "t.png"
+    save_image(str(img), np.zeros((16, 16, 3), np.uint8))
+    csv = tmp_path / "notes.csv"
+    csv.write_text("col_a,col_b\n1,2\n")
+    rc = cli.main([str(img), str(tmp_path / "out"), "--rounds", "1",
+                   "--backend", "cpu", "--path", "xla",
+                   "--csv", str(csv)])
+    assert rc == 2
+    assert csv.read_text() == "col_a,col_b\n1,2\n"

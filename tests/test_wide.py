@@ -461,3 +461,15 @@ def test_wide_matches_single_buffer_semantics():
     np.testing.assert_array_equal(
         wide.from_wide_resident(strips, wl),
         from_planar_padded(np.asarray(single), layout))
+
+
+def test_wide_streaming_tiny_interior_blocks():
+    """block_rows at or below the plan halo must not crash interior
+    blocks on make_wide_layout's min-dims guard (round-5 review): block
+    heights are silently raised to halo+1 and the stitch stays
+    bit-exact."""
+    img = _img(40, 300, seed=48)
+    got = wide.apply_streaming(img, "Erosion-3x3-Square", block_rows=2,
+                               strip_width=LANE)
+    np.testing.assert_array_equal(
+        got, oracle.IMAGE_OPS["Erosion-3x3-Square"](img))
